@@ -23,8 +23,8 @@ int main(int argc, char **argv) {
   od_ec_enc enc;
   od_ec_enc_init(&enc, 1 << 20);
 
-  static aom_cdf_prob cdfs[64][16][17];
-  static int have[64][16];
+  static aom_cdf_prob cdfs[64][17][17];
+  static int have[64][17];
   memset(have, 0, sizeof(have));
 
   for (int i = 0; i < 20000; i++) {
