@@ -23,6 +23,7 @@
 #include "av1/common/seg_common.h"
 #include "av1/common/token_cdfs.h"
 #include "av1/common/av1_txfm.h"
+#include "av1/common/blockd.h"
 
 static FILE *out;
 
@@ -217,6 +218,29 @@ int main(int argc, char **argv) {
   /* ---- transform cosine tables (av1_txfm.c) ---- */
   D32("cospi_arr", av1_cospi_arr_data, 4, 64);
   D32("sinpi_arr", av1_sinpi_arr_data, 4, 5);
+
+  /* ---- coefficient-coding tables (txb_common.c / entropy.c) ---- */
+  {
+    extern const int16_t av1_eob_group_start[12];
+    extern const int16_t av1_eob_offset_bits[12];
+    extern const int8_t *av1_nz_map_ctx_offset[TX_SIZES_ALL];
+    D16("eob_group_start", av1_eob_group_start, 12);
+    D16("eob_offset_bits", av1_eob_offset_bits, 12);
+    for (int ts = 0; ts < TX_SIZES_ALL; ts++) {
+      /* table covers the adjusted (<=32-dim) transform area */
+      TX_SIZE adj = av1_get_adjusted_tx_size(ts);
+      int n = tx_size_wide[adj] * tx_size_high[adj];
+      int8_t tmp[32 * 32];
+      memcpy(tmp, av1_nz_map_ctx_offset[ts], n);
+      char nbuf[48];
+      snprintf(nbuf, sizeof(nbuf), "nz_map_ctx_offset_ts%d", ts);
+      int dims[1] = { n };
+      /* widen to u16 records */
+      uint16_t wide[32 * 32];
+      for (int i = 0; i < n; i++) wide[i] = (uint16_t)tmp[i];
+      dump_raw(nbuf, wide, 2, 1, dims);
+    }
+  }
 
   fclose(out);
   fprintf(stderr, "tables dumped\n");
