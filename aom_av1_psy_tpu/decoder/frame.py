@@ -1,0 +1,939 @@
+"""Intra-frame decoder: tile/SB/partition parse + reconstruction.
+
+Mirrors ``av1/decoder/decodeframe.c`` (decode_partition :1244,
+parse_decode_block :1115, decode_token_recon_block) and ``decodemv.c``
+(read_intra_frame_mode_info) for KEY / INTRA_ONLY frames, 8-bit 4:2:0.
+
+This host-side reference decoder is the conformance anchor; batched TPU
+paths (wavefront recon) plug in behind the same normative logic.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.headers import SequenceHeader, FrameHeader
+from ..ec.coder import Decoder
+from ..ec.context import FrameContext
+from ..ec import coeffs as C
+from ..normative import tables
+from ..normative.enums import (BlockSize, Partition, PredictionMode, TxSize,
+                               BLOCK_WIDTH, BLOCK_HEIGHT, TX_WIDTH, TX_HEIGHT,
+                               MODE_TO_ANGLE)
+from ..normative.blocks import (MI_W, MI_H, PARTITION_CTX_ABOVE,
+                                PARTITION_CTX_LEFT, INTRA_MODE_CONTEXT,
+                                INTRA_MODE_TO_TX_TYPE, EXT_TX_USED_FLAG,
+                                NUM_EXT_TX_SET, EXT_TX_SET_INDEX_INTRA,
+                                EXT_TX_INV, FIMODE_TO_INTRADIR,
+                                get_partition_subsize, get_plane_block_size,
+                                scale_chroma_bsize, is_directional_mode,
+                                bsize_from_dims)
+from ..normative.txsize import (MAX_TXSIZE_RECT, TXSIZE_SQR, TXSIZE_SQR_UP,
+                                TXSIZE_TO_BSIZE, TX_WIDE_UNIT, TX_HIGH_UNIT,
+                                adjusted_tx_size, tx_scale)
+from ..normative import txsize as TS
+from ..ops import intra as intra_ops
+from ..ops import txfm as txfm_ops
+
+SUB_TX_SIZE_MAP = np.array(
+    [0, 0, 1, 2, 3, 0, 0, 1, 1, 2, 2, 3, 3, 5, 6, 7, 8, 9, 10], np.int32)
+BSIZE_TO_MAX_DEPTH = np.array(
+    [0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+    np.int32)
+BSIZE_TO_TX_SIZE_CAT = np.array(
+    [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4, 2, 2, 3, 3, 4, 4],
+    np.int32)
+
+MAX_ANGLE_DELTA = 3
+CFL_BUF_LINE = 32
+
+
+def _has_misc(name):
+    return intra_ops._misc()[name]
+
+
+def partition_cdf_length(bsize: int) -> int:
+    if bsize <= BlockSize.BLOCK_8X8:
+        return 4
+    if bsize == BlockSize.BLOCK_128X128:
+        return 8
+    return 10
+
+
+def _cdf_element_prob(icdf, el: int) -> int:
+    prev = int(icdf[el - 1]) if el > 0 else 32768
+    return prev - int(icdf[el])
+
+
+def gather_partition_cdf(icdf, bsize: int, horz: bool) -> np.ndarray:
+    """partition_gather_{horz,vert}_alike → 2-symbol icdf (no counter use)."""
+    p = 32768
+    els = ([Partition.HORZ, Partition.SPLIT, Partition.HORZ_A,
+            Partition.HORZ_B, Partition.VERT_A]
+           if horz else
+           [Partition.VERT, Partition.SPLIT, Partition.HORZ_A,
+            Partition.VERT_A, Partition.VERT_B])
+    for el in els:
+        p -= _cdf_element_prob(icdf, el)
+    if bsize != BlockSize.BLOCK_128X128:
+        p -= _cdf_element_prob(
+            icdf, Partition.HORZ_4 if horz else Partition.VERT_4)
+    out = np.zeros(3, np.uint16)
+    out[0] = 32768 - p
+    out[1] = 0
+    return out
+
+
+def depth_to_tx_size(depth: int, bsize: int) -> int:
+    ts = int(MAX_TXSIZE_RECT[bsize])
+    for _ in range(depth):
+        ts = int(SUB_TX_SIZE_MAP[ts])
+    return ts
+
+
+class CflCtx:
+    def __init__(self, ss_x: int, ss_y: int):
+        self.recon_q3 = np.zeros((CFL_BUF_LINE, CFL_BUF_LINE), np.int32)
+        self.buf_w = 0
+        self.buf_h = 0
+        self.ss_x = ss_x
+        self.ss_y = ss_y
+
+    def store(self, luma: np.ndarray, row_off: int, col_off: int) -> None:
+        """cfl_store: luma recon region (h, w) subsampled into q3 buffer."""
+        h, w = luma.shape
+        sr = row_off << (2 - self.ss_y)
+        sc = col_off << (2 - self.ss_x)
+        sh, sw = h >> self.ss_y, w >> self.ss_x
+        if row_off == 0 and col_off == 0:
+            self.buf_w, self.buf_h = sw, sh
+        else:
+            self.buf_w = max(sc + sw, self.buf_w)
+            self.buf_h = max(sr + sh, self.buf_h)
+        if self.ss_x and self.ss_y:
+            sub = (luma[0::2, 0::2] + luma[0::2, 1::2] + luma[1::2, 0::2]
+                   + luma[1::2, 1::2]) << 1
+        elif self.ss_x:
+            sub = (luma[:, 0::2] + luma[:, 1::2]) << 2
+        else:
+            sub = luma << 3
+        self.recon_q3[sr : sr + sh, sc : sc + sw] = sub
+
+    def predict(self, dc_pred: np.ndarray, alpha_q3: int, w: int,
+                h: int) -> np.ndarray:
+        """cfl_pad + subtract_average + cfl_predict on a (h, w) block."""
+        buf = self.recon_q3
+        if w > self.buf_w:
+            buf = buf.copy()
+            buf[: self.buf_h, self.buf_w : w] = \
+                buf[: self.buf_h, self.buf_w - 1 : self.buf_w]
+            self.recon_q3 = buf
+            self.buf_w = w
+        if h > self.buf_h:
+            buf = buf if buf is not self.recon_q3 else buf.copy()
+            buf[self.buf_h : h, :w] = buf[self.buf_h - 1 : self.buf_h, :w]
+            self.recon_q3 = buf
+            self.buf_h = h
+        region = self.recon_q3[:h, :w].astype(np.int64)
+        avg = int(region.sum() + ((w * h) >> 1)) >> (w * h).bit_length() - 1
+        ac = region - avg
+        scaled = np.where(
+            alpha_q3 * ac >= 0,
+            (np.abs(alpha_q3 * ac) + 32) >> 6,
+            -((np.abs(alpha_q3 * ac) + 32) >> 6))
+        return np.clip(dc_pred + scaled, 0, 255).astype(np.int32)
+
+
+class FrameDecoder:
+    def __init__(self, seq: SequenceHeader, fh: FrameHeader):
+        self.seq = seq
+        self.fh = fh
+        self.bd = seq.bit_depth
+        assert self.bd == 8, "8-bit only for now"
+        self.w, self.h = fh.width, fh.height
+        self.mi_cols = (self.w + 7) // 8 * 2
+        self.mi_rows = (self.h + 7) // 8 * 2
+        self.sb_mi = 32 if seq.use_128x128_superblock else 16
+        self.sb_bsize = (BlockSize.BLOCK_128X128 if seq.use_128x128_superblock
+                         else BlockSize.BLOCK_64X64)
+        self.nplanes = 1 if seq.monochrome else 3
+        ss = [(0, 0), (seq.subsampling_x, seq.subsampling_y),
+              (seq.subsampling_x, seq.subsampling_y)][: self.nplanes]
+        self.ss = ss
+        # plane buffers with enough alignment padding to cover partial SBs
+        self.planes = []
+        for (sx, sy) in ss:
+            pw = ((self.mi_cols * 4) >> sx)
+            ph = ((self.mi_rows * 4) >> sy)
+            self.planes.append(np.zeros((ph, pw), np.int32))
+        # mode-info grids
+        shape = (self.mi_rows, self.mi_cols)
+        g = lambda fill=0, dt=np.int32: np.full(shape, fill, dt)
+        self.mi_bsize = g(BlockSize.BLOCK_64X64)
+        self.mi_mode = g(PredictionMode.DC_PRED)
+        self.mi_uv_mode = g(0)
+        self.mi_angle_y = g(0)
+        self.mi_angle_uv = g(0)
+        self.mi_skip = g(0)
+        self.mi_tx_size = g(TxSize.TX_4X4)
+        self.mi_filter_intra = g(-1)
+        self.mi_cfl_idx = g(0)
+        self.mi_cfl_signs = g(0)
+        self.mi_valid = g(0)
+        self.tx_type_map = g(0)
+        # dequant tables per plane: (dc, ac)
+        q = fh.quant
+        deltas = [(q.y_dc_delta_q, 0), (q.u_dc_delta_q, q.u_ac_delta_q),
+                  (q.v_dc_delta_q, q.v_ac_delta_q)]
+        self.dequant = []
+        for p in range(self.nplanes):
+            dcq = tables.get("dc_quant_qtx")[0][
+                np.clip(q.base_q_idx + deltas[p][0], 0, 255)]
+            acq = tables.get("ac_quant_qtx")[0][
+                np.clip(q.base_q_idx + deltas[p][1], 0, 255)]
+            self.dequant.append((int(dcq), int(acq)))
+        self.lossless = fh.coded_lossless
+        self.has_tr_tables = self._load_avail_tables("tr")
+        self.has_bl_tables = self._load_avail_tables("bl")
+
+    # ------------------------------------------------------------------
+    def _load_avail_tables(self, kind):
+        m = intra_ops._misc()
+        sizes = ["4x4", "4x8", "8x4", "8x8", "8x16", "16x8", "16x16",
+                 "16x32", "32x16", "32x32", "32x64", "64x32", "64x64",
+                 "64x128", "128x64", "128x128", "4x16", "16x4", "8x32",
+                 "32x8", "16x64", "64x16"]
+        normal = [m[f"has_{kind}_{s}"] for s in sizes]
+        vert = []
+        vert_names = {3: "8x8", 6: "16x16", 9: "32x32", 12: "64x64"}
+        for b in range(16):
+            if b in vert_names:
+                vert.append(m[f"has_{kind}_vert_{vert_names[b]}"])
+            elif b in (1, 4, 7, 10, 13):  # 4x8-like use normal table
+                vert.append(normal[b])
+            elif b == 15:
+                vert.append(normal[15])
+            else:
+                vert.append(None)
+        return normal, vert
+
+    # ------------------------------------------------------------------
+    def decode_tile(self, data: bytes, tile_row: int, tile_col: int,
+                    fc: FrameContext) -> None:
+        t = self.fh.tiles
+        self.fc = fc
+        self.dec = Decoder(data)
+        self.dec.allow_update = not self.fh.disable_cdf_update
+        self.tile_mi_row_start = t.row_starts[tile_row] * self.sb_mi
+        self.tile_mi_row_end = min(t.row_starts[tile_row + 1] * self.sb_mi,
+                                   self.mi_rows)
+        self.tile_mi_col_start = t.col_starts[tile_col] * self.sb_mi
+        self.tile_mi_col_end = min(t.col_starts[tile_col + 1] * self.sb_mi,
+                                   self.mi_cols)
+        ncols = self.mi_cols
+        self.above_part = np.zeros(ncols, np.int32)
+        self.above_txfm = np.zeros(ncols, np.int32)
+        self.above_ent = [np.zeros(ncols >> sx, np.uint8) for sx, _ in self.ss]
+        for r0 in range(self.tile_mi_row_start, self.tile_mi_row_end,
+                        self.sb_mi):
+            self.left_part = np.zeros(self.sb_mi, np.int32)
+            self.left_txfm = np.zeros(self.sb_mi, np.int32)
+            self.left_ent = [np.zeros(self.sb_mi >> sy, np.uint8)
+                             for _, sy in self.ss]
+            for c0 in range(self.tile_mi_col_start, self.tile_mi_col_end,
+                            self.sb_mi):
+                self.cfl = CflCtx(self.seq.subsampling_x,
+                                  self.seq.subsampling_y)
+                self.decode_partition(r0, c0, int(self.sb_bsize))
+
+    # ------------------------------------------------------------------
+    def _read_symbol(self, icdf, nsyms):
+        return self.dec.decode_symbol(icdf, nsyms)
+
+    def partition_ctx(self, mi_row, mi_col, bsize):
+        # bsl relative to the 8x8 minimum partition (av1_common_int.h:1527)
+        bsl = int(MI_W[bsize]).bit_length() - 2
+        above = (int(self.above_part[mi_col]) >> bsl) & 1
+        left = (int(self.left_part[mi_row & (self.sb_mi - 1)]) >> bsl) & 1
+        return (left * 2 + above) + bsl * 4
+
+    def update_partition_ctx(self, mi_row, mi_col, subsize, bsize):
+        bw, bh = int(MI_W[bsize]), int(MI_H[bsize])
+        self.above_part[mi_col : mi_col + bw] = PARTITION_CTX_ABOVE[subsize]
+        lr = mi_row & (self.sb_mi - 1)
+        self.left_part[lr : lr + bh] = PARTITION_CTX_LEFT[subsize]
+
+    def decode_partition(self, mi_row, mi_col, bsize):
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        bw4 = int(MI_W[bsize])
+        hbs = bw4 // 2
+        qbs = bw4 // 4
+        has_rows = mi_row + hbs < self.mi_rows
+        has_cols = mi_col + hbs < self.mi_cols
+        if bsize >= BlockSize.BLOCK_8X8:
+            ctx = self.partition_ctx(mi_row, mi_col, bsize)
+            if not has_rows and not has_cols:
+                partition = Partition.SPLIT
+            elif has_rows and has_cols:
+                partition = Partition(self._read_symbol(
+                    self.fc.partition_cdf[ctx], partition_cdf_length(bsize)))
+            elif has_cols:
+                cdf2 = gather_partition_cdf(self.fc.partition_cdf[ctx], bsize,
+                                            horz=True)
+                split = self.dec.decode_cdf(cdf2, 2)
+                partition = Partition.SPLIT if split else Partition.HORZ
+            else:
+                cdf2 = gather_partition_cdf(self.fc.partition_cdf[ctx], bsize,
+                                            horz=False)
+                split = self.dec.decode_cdf(cdf2, 2)
+                partition = Partition.SPLIT if split else Partition.VERT
+        else:
+            partition = Partition.NONE
+        subsize = get_partition_subsize(bsize, partition)
+        bsize2 = (get_partition_subsize(bsize, Partition.SPLIT)
+                  if bsize >= BlockSize.BLOCK_8X8 else bsize)
+
+        B = self.decode_block
+        if partition == Partition.NONE:
+            B(mi_row, mi_col, partition, subsize)
+        elif partition == Partition.HORZ:
+            B(mi_row, mi_col, partition, subsize)
+            if has_rows:
+                B(mi_row + hbs, mi_col, partition, subsize)
+        elif partition == Partition.VERT:
+            B(mi_row, mi_col, partition, subsize)
+            if has_cols:
+                B(mi_row, mi_col + hbs, partition, subsize)
+        elif partition == Partition.SPLIT:
+            self.decode_partition(mi_row, mi_col, subsize)
+            self.decode_partition(mi_row, mi_col + hbs, subsize)
+            self.decode_partition(mi_row + hbs, mi_col, subsize)
+            self.decode_partition(mi_row + hbs, mi_col + hbs, subsize)
+        elif partition == Partition.HORZ_A:
+            B(mi_row, mi_col, partition, bsize2)
+            B(mi_row, mi_col + hbs, partition, bsize2)
+            B(mi_row + hbs, mi_col, partition, subsize)
+        elif partition == Partition.HORZ_B:
+            B(mi_row, mi_col, partition, subsize)
+            B(mi_row + hbs, mi_col, partition, bsize2)
+            B(mi_row + hbs, mi_col + hbs, partition, bsize2)
+        elif partition == Partition.VERT_A:
+            B(mi_row, mi_col, partition, bsize2)
+            B(mi_row + hbs, mi_col, partition, bsize2)
+            B(mi_row, mi_col + hbs, partition, subsize)
+        elif partition == Partition.VERT_B:
+            B(mi_row, mi_col, partition, subsize)
+            B(mi_row, mi_col + hbs, partition, bsize2)
+            B(mi_row + hbs, mi_col + hbs, partition, bsize2)
+        elif partition == Partition.HORZ_4:
+            for i in range(4):
+                row = mi_row + i * qbs
+                if i > 0 and row >= self.mi_rows:
+                    break
+                B(row, mi_col, partition, subsize)
+        elif partition == Partition.VERT_4:
+            for i in range(4):
+                col = mi_col + i * qbs
+                if i > 0 and col >= self.mi_cols:
+                    break
+                B(mi_row, col, partition, subsize)
+        # update_ext_partition_context
+        if bsize >= BlockSize.BLOCK_8X8:
+            if partition in (Partition.NONE, Partition.HORZ, Partition.VERT,
+                             Partition.HORZ_4, Partition.VERT_4) or \
+                    (partition == Partition.SPLIT
+                     and bsize == BlockSize.BLOCK_8X8):
+                self.update_partition_ctx(mi_row, mi_col, subsize, bsize)
+            elif partition == Partition.HORZ_A:
+                self.update_partition_ctx(mi_row, mi_col, bsize2, subsize)
+                self.update_partition_ctx(mi_row + hbs, mi_col, subsize,
+                                          subsize)
+            elif partition == Partition.HORZ_B:
+                self.update_partition_ctx(mi_row, mi_col, subsize, subsize)
+                self.update_partition_ctx(mi_row + hbs, mi_col, bsize2,
+                                          subsize)
+            elif partition == Partition.VERT_A:
+                self.update_partition_ctx(mi_row, mi_col, bsize2, subsize)
+                self.update_partition_ctx(mi_row, mi_col + hbs, subsize,
+                                          subsize)
+            elif partition == Partition.VERT_B:
+                self.update_partition_ctx(mi_row, mi_col, subsize, subsize)
+                self.update_partition_ctx(mi_row, mi_col + hbs, bsize2,
+                                          subsize)
+
+    # ------------------------------------------------------------------
+    def _neighbors(self, mi_row, mi_col):
+        up = mi_row > self.tile_mi_row_start
+        left = mi_col > self.tile_mi_col_start
+        above_mi = (mi_row - 1, mi_col) if up else None
+        left_mi = (mi_row, mi_col - 1) if left else None
+        return up, left, above_mi, left_mi
+
+    def decode_block(self, mi_row, mi_col, partition, bsize):
+        fc = self.fc
+        dec = self.dec
+        bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+        up, left, above_mi, left_mi = self._neighbors(mi_row, mi_col)
+        ss_x, ss_y = self.ss[1] if self.nplanes > 1 else (1, 1)
+        # chroma availability / reference (set_mi_row_col, is_chroma_reference)
+        chroma_up = up
+        chroma_left = left
+        if ss_x and bw4 < 2:
+            chroma_left = mi_col - 1 > self.tile_mi_col_start
+        if ss_y and bh4 < 2:
+            chroma_up = mi_row - 1 > self.tile_mi_row_start
+        is_chroma_ref = self.nplanes > 1 and (
+            ((mi_row & 1) or not (bh4 & 1) or not ss_y)
+            and ((mi_col & 1) or not (bw4 & 1) or not ss_x))
+
+        # ---- mode info (read_intra_frame_mode_info) ----
+        skip_ctx = 0
+        if up:
+            skip_ctx += int(self.mi_skip[above_mi])
+        if left:
+            skip_ctx += int(self.mi_skip[left_mi])
+        skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
+
+        above_mode = (int(self.mi_mode[above_mi]) if up else
+                      PredictionMode.DC_PRED)
+        left_mode = (int(self.mi_mode[left_mi]) if left else
+                     PredictionMode.DC_PRED)
+        actx = int(INTRA_MODE_CONTEXT[above_mode])
+        lctx = int(INTRA_MODE_CONTEXT[left_mode])
+        mode = self._read_symbol(fc.kf_y_cdf[actx][lctx], 13)
+
+        use_angle = bsize >= BlockSize.BLOCK_8X8
+        angle_y = 0
+        if use_angle and is_directional_mode(mode):
+            angle_y = self._read_symbol(
+                fc.angle_delta_cdf[mode - PredictionMode.V_PRED],
+                2 * MAX_ANGLE_DELTA + 1) - MAX_ANGLE_DELTA
+
+        uv_mode = 0
+        angle_uv = 0
+        cfl_idx = 0
+        cfl_signs = 0
+        if is_chroma_ref:
+            cfl_allowed = self._cfl_allowed(bsize, ss_x, ss_y)
+            uv_mode = self._read_symbol(fc.uv_mode_cdf[int(cfl_allowed)][mode],
+                                        14 if cfl_allowed else 13)
+            if uv_mode == 13:  # UV_CFL_PRED
+                cfl_signs = self._read_symbol(fc.cfl_sign_cdf, 8)
+                sign_u = ((cfl_signs + 1) * 11) >> 5
+                sign_v = (cfl_signs + 1) - 3 * sign_u
+                idx = 0
+                if sign_u != 0:
+                    ctx = cfl_signs + 1 - 3
+                    idx = self._read_symbol(fc.cfl_alpha_cdf[ctx], 16) << 4
+                if sign_v != 0:
+                    ctx = sign_v * 3 + sign_u - 3
+                    idx += self._read_symbol(fc.cfl_alpha_cdf[ctx], 16)
+                cfl_idx = idx
+            uv_dir = 0 if uv_mode == 13 else uv_mode
+            if use_angle and is_directional_mode(uv_dir):
+                angle_uv = self._read_symbol(
+                    fc.angle_delta_cdf[uv_mode - PredictionMode.V_PRED],
+                    2 * MAX_ANGLE_DELTA + 1) - MAX_ANGLE_DELTA
+
+        # palette: requires allow_screen_content_tools (unsupported -> absent)
+        filter_intra_mode = -1
+        if (self.seq.enable_filter_intra and mode == PredictionMode.DC_PRED
+                and self._filter_intra_allowed_bsize(bsize)):
+            if self._read_symbol(fc.filter_intra_cdfs[bsize], 2):
+                filter_intra_mode = self._read_symbol(
+                    fc.filter_intra_mode_cdf, 5)
+
+        # ---- tx size ----
+        if self.lossless:
+            tx_size = int(TxSize.TX_4X4)
+        elif bsize > BlockSize.BLOCK_4X4:
+            if self.fh.tx_mode_select:
+                tx_size = self._read_selected_tx_size(
+                    bsize, mi_row, mi_col, up, left)
+            else:
+                tx_size = int(MAX_TXSIZE_RECT[bsize])  # TX_MODE_LARGEST
+        else:
+            tx_size = int(MAX_TXSIZE_RECT[bsize])
+        # set_txfm_ctxs
+        self.above_txfm[mi_col : mi_col + bw4] = int(TX_WIDTH[tx_size])
+        lr = mi_row & (self.sb_mi - 1)
+        self.left_txfm[lr : lr + bh4] = int(TX_HEIGHT[tx_size])
+
+        # store MI
+        r1, c1 = min(mi_row + bh4, self.mi_rows), min(mi_col + bw4,
+                                                      self.mi_cols)
+        self.mi_bsize[mi_row:r1, mi_col:c1] = bsize
+        self.mi_mode[mi_row:r1, mi_col:c1] = mode
+        self.mi_uv_mode[mi_row:r1, mi_col:c1] = uv_mode
+        self.mi_angle_y[mi_row:r1, mi_col:c1] = angle_y
+        self.mi_angle_uv[mi_row:r1, mi_col:c1] = angle_uv
+        self.mi_skip[mi_row:r1, mi_col:c1] = skip
+        self.mi_tx_size[mi_row:r1, mi_col:c1] = tx_size
+        self.mi_filter_intra[mi_row:r1, mi_col:c1] = filter_intra_mode
+        self.mi_valid[mi_row:r1, mi_col:c1] = 1
+
+        # intra-edge filter type: 1 when a neighbor uses a SMOOTH mode
+        # (reconintra.c get_intra_edge_filter_type)
+        ab_sm = up and int(self.mi_mode[above_mi]) in (9, 10, 11)
+        le_sm = left and int(self.mi_mode[left_mi]) in (9, 10, 11)
+        ef_type_y = 1 if (ab_sm or le_sm) else 0
+        ef_type_uv = 0
+        if is_chroma_ref:
+            base_r = mi_row - (mi_row & ss_y)
+            base_c = mi_col - (mi_col & ss_x)
+            ab_sm = le_sm = False
+            if chroma_up:
+                m = int(self.mi_uv_mode[base_r - 1, base_c + ss_x])
+                v = int(self.mi_valid[base_r - 1, base_c + ss_x])
+                ab_sm = v and m in (9, 10, 11)
+            if chroma_left:
+                m = int(self.mi_uv_mode[base_r + ss_y, base_c - 1])
+                v = int(self.mi_valid[base_r + ss_y, base_c - 1])
+                le_sm = v and m in (9, 10, 11)
+            ef_type_uv = 1 if (ab_sm or le_sm) else 0
+        self.ef_types = (ef_type_y, ef_type_uv)
+
+        if skip:
+            self._reset_entropy_ctx(mi_row, mi_col, bsize, is_chroma_ref)
+
+        # ---- residual + recon ----
+        self._decode_token_recon(mi_row, mi_col, bsize, tx_size, mode, uv_mode,
+                                 angle_y, angle_uv, skip, filter_intra_mode,
+                                 cfl_idx, cfl_signs, is_chroma_ref, up, left,
+                                 chroma_up, chroma_left, partition)
+
+    def _cfl_allowed(self, bsize, ss_x, ss_y):
+        if self.lossless:
+            return get_plane_block_size(bsize, ss_x, ss_y) == \
+                BlockSize.BLOCK_4X4
+        return (int(BLOCK_WIDTH[bsize]) <= 32
+                and int(BLOCK_HEIGHT[bsize]) <= 32)
+
+    def _filter_intra_allowed_bsize(self, bsize) -> bool:
+        return (int(BLOCK_WIDTH[bsize]) <= 32
+                and int(BLOCK_HEIGHT[bsize]) <= 32)
+
+    def _read_selected_tx_size(self, bsize, mi_row, mi_col, up, left):
+        cat = int(BSIZE_TO_TX_SIZE_CAT[bsize])
+        max_depth = int(BSIZE_TO_MAX_DEPTH[bsize])
+        max_tx = int(MAX_TXSIZE_RECT[bsize])
+        above = int(self.above_txfm[mi_col]) >= int(TX_WIDTH[max_tx])
+        lval = int(self.left_txfm[mi_row & (self.sb_mi - 1)])
+        leftc = lval >= int(TX_HEIGHT[max_tx])
+        if up and left:
+            ctx = int(above) + int(leftc)
+        elif up:
+            ctx = int(above)
+        elif left:
+            ctx = int(leftc)
+        else:
+            ctx = 0
+        depth = self._read_symbol(self.fc.tx_size_cdf[cat][ctx], max_depth + 1)
+        return depth_to_tx_size(depth, bsize)
+
+    def _reset_entropy_ctx(self, mi_row, mi_col, bsize, is_chroma_ref):
+        """av1_reset_entropy_context for skip blocks."""
+        for p in range(self.nplanes):
+            if p and not is_chroma_ref:
+                break
+            sx, sy = self.ss[p]
+            pb = get_plane_block_size(bsize, sx, sy) if p else bsize
+            w4 = int(MI_W[pb])
+            h4 = int(MI_H[pb])
+            c = mi_col >> sx
+            r = (mi_row & (self.sb_mi - 1)) >> sy
+            self.above_ent[p][c : c + w4] = 0
+            self.left_ent[p][r : r + h4] = 0
+
+    # ------------------------------------------------------------------
+    def _decode_token_recon(self, mi_row, mi_col, bsize, tx_size_y, mode,
+                            uv_mode, angle_y, angle_uv, skip,
+                            filter_intra_mode, cfl_idx, cfl_signs,
+                            is_chroma_ref, up, left, chroma_up, chroma_left,
+                            partition):
+        max_w4 = int(MI_W[bsize])
+        max_h4 = int(MI_H[bsize])
+        # frame-edge clipping (max_block_wide/high)
+        max_w4 = min(max_w4, self.mi_cols - mi_col)
+        max_h4 = min(max_h4, self.mi_rows - mi_row)
+        mu_w = min(16, max_w4)
+        mu_h = min(16, max_h4)
+        store_cfl = (self.nplanes > 1 and (
+            (not is_chroma_ref) or uv_mode == 13))
+        for row in range(0, max_h4, mu_h):
+            for col in range(0, max_w4, mu_w):
+                for plane in range(self.nplanes):
+                    if plane and not is_chroma_ref:
+                        break
+                    sx, sy = self.ss[plane]
+                    if plane == 0:
+                        tx_size = tx_size_y
+                    else:
+                        pb = get_plane_block_size(
+                            scale_chroma_bsize(bsize, sx, sy), sx, sy)
+                        tx_size = TS.adjusted_tx_size(int(MAX_TXSIZE_RECT[pb]))
+                        if self.lossless:
+                            tx_size = int(TxSize.TX_4X4)
+                    stepr = int(TX_HIGH_UNIT[tx_size])
+                    stepc = int(TX_WIDE_UNIT[tx_size])
+                    unit_h = ((min(mu_h + row, max_h4) + sy) >> sy)
+                    unit_w = ((min(mu_w + col, max_w4) + sx) >> sx)
+                    for br in range(row >> sy, unit_h, stepr):
+                        for bc in range(col >> sx, unit_w, stepc):
+                            self._tx_block(mi_row, mi_col, bsize, plane, br,
+                                           bc, tx_size, mode, uv_mode,
+                                           angle_y, angle_uv, skip,
+                                           filter_intra_mode, cfl_idx,
+                                           cfl_signs, up, left, chroma_up,
+                                           chroma_left, store_cfl, partition)
+
+    def _tx_block(self, mi_row, mi_col, bsize, plane, blk_row, blk_col,
+                  tx_size, mode, uv_mode, angle_y, angle_uv, skip,
+                  filter_intra_mode, cfl_idx, cfl_signs, up, left, chroma_up,
+                  chroma_left, store_cfl, partition):
+        fc = self.fc
+        sx, sy = self.ss[plane]
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        plane_bsize = bsize if plane == 0 else get_plane_block_size(
+            scale_chroma_bsize(bsize, sx, sy), sx, sy)
+
+        # ---- parse coefficients ----
+        coeff = None
+        eob = 0
+        if not skip:
+            wu = int(TX_WIDE_UNIT[tx_size])
+            hu = int(TX_HIGH_UNIT[tx_size])
+            ac = self.above_ent[plane]
+            lc = self.left_ent[plane]
+            acol = (mi_col >> sx) + blk_col
+            lrow = ((mi_row & (self.sb_mi - 1)) >> sy) + blk_row
+            skip_ctx, sign_ctx = C.get_txb_ctx(
+                plane_bsize, tx_size, plane, ac[acol : acol + wu],
+                lc[lrow : lrow + hu])
+
+            tx_type_holder = [0]
+
+            def read_tx_type():
+                tt = self._read_tx_type(mi_row + (blk_row << sy),
+                                        mi_col + (blk_col << sx), tx_size,
+                                        mode, filter_intra_mode, skip)
+                tx_type_holder[0] = tt
+                return tt
+
+            if plane == 0:
+                coeff, eob, cul = C.read_coeffs_txb(
+                    self.dec, fc, tx_size, 0, plane, skip_ctx, sign_ctx,
+                    read_tx_type_fn=read_tx_type)
+                tx_type = tx_type_holder[0] if eob else 0
+                self.tx_type_map[mi_row + blk_row : mi_row + blk_row + 1,
+                                 mi_col + blk_col : mi_col + blk_col + 1] = \
+                    tx_type
+            else:
+                tx_type = self._uv_tx_type(uv_mode, tx_size)
+                coeff, eob, cul = C.read_coeffs_txb(
+                    self.dec, fc, tx_size, tx_type, plane, skip_ctx, sign_ctx)
+            ac[acol : acol + wu] = cul
+            lc[lrow : lrow + hu] = cul
+        else:
+            tx_type = 0
+
+        # ---- predict ----
+        x = ((mi_col >> sx) << 2) + (blk_col << 2)
+        y = ((mi_row >> sy) << 2) + (blk_row << 2)
+        if plane and (sx or sy):
+            # sub-8x8 chroma anchors at the even MI (setup_pred_plane)
+            bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+            ax_mi = mi_col - (1 if (sx and (mi_col & 1) and bw4 == 1) else 0)
+            ay_mi = mi_row - (1 if (sy and (mi_row & 1) and bh4 == 1) else 0)
+            x = ((ax_mi << 2) >> sx) + (blk_col << 2)
+            y = ((ay_mi << 2) >> sy) + (blk_row << 2)
+        pmode = mode if plane == 0 else (0 if uv_mode == 13 else uv_mode)
+        adelta = angle_y if plane == 0 else angle_uv
+        pred = self._predict_intra(plane, x, y, tx_size, pmode, adelta,
+                                   filter_intra_mode if plane == 0 else None,
+                                   blk_row, blk_col, bsize, up, left,
+                                   chroma_up, chroma_left, partition,
+                                   mi_row, mi_col)
+        if plane and uv_mode == 13:
+            alpha = self._cfl_alpha(cfl_idx, cfl_signs, plane)
+            pred = self.cfl.predict(pred, alpha, txw, txh)
+
+        buf = self.planes[plane]
+        h, w = buf.shape
+        vw = min(txw, w - x)
+        vh = min(txh, h - y)
+        if vw <= 0 or vh <= 0:
+            return
+        # ---- reconstruct ----
+        if eob > 0:
+            dq = self._dequant(coeff, plane, tx_size)
+            if self.lossless:
+                rec = txfm_ops.iwht4x4_add(dq[None], pred[None, :4, :4],
+                                           bd=self.bd)[0]
+            else:
+                ts_adj = TS.adjusted_tx_size(tx_size)
+                cw = int(TX_WIDTH[ts_adj])
+                ch = int(TX_HEIGHT[ts_adj])
+                full = np.zeros((txw, txh), np.int32)
+                full[:cw, :ch] = dq.reshape(cw, ch)
+                rec = txfm_ops.inv_txfm2d_add(full[None], pred[None], tx_size,
+                                              tx_type, bd=self.bd)[0]
+        else:
+            rec = pred
+        buf[y : y + vh, x : x + vw] = rec[:vh, :vw]
+
+        if plane == 0 and store_cfl:
+            self._store_cfl_tx(mi_row, mi_col, bsize, blk_row, blk_col,
+                               tx_size, x, y)
+
+    def _store_cfl_tx(self, mi_row, mi_col, bsize, blk_row, blk_col, tx_size,
+                      x, y):
+        row, col = blk_row, blk_col
+        if int(BLOCK_HEIGHT[bsize]) == 4 or int(BLOCK_WIDTH[bsize]) == 4:
+            if (mi_row & 1) and self.cfl.ss_y:
+                row += 1
+            if (mi_col & 1) and self.cfl.ss_x:
+                col += 1
+        buf = self.planes[0]
+        txw = int(TX_WIDTH[tx_size])
+        txh = int(TX_HEIGHT[tx_size])
+        vh = min(txh, buf.shape[0] - y)
+        vw = min(txw, buf.shape[1] - x)
+        luma = np.empty((txh, txw), np.int32)
+        luma[:vh, :vw] = buf[y : y + vh, x : x + vw]
+        if vh < txh:
+            luma[vh:, :vw] = luma[vh - 1 : vh, :vw]
+        if vw < txw:
+            luma[:, vw:] = luma[:, vw - 1 : vw]
+        self.cfl.store(luma, row, col)
+
+    def _cfl_alpha(self, idx, joint_sign, plane):
+        sign_u = ((joint_sign + 1) * 11) >> 5
+        sign_v = (joint_sign + 1) - 3 * sign_u
+        sign = sign_u if plane == 1 else sign_v
+        if sign == 0:  # CFL_SIGN_ZERO
+            return 0
+        mag = (idx >> 4) if plane == 1 else (idx & 15)
+        return mag + 1 if sign == 2 else -(mag + 1)
+
+    def _uv_tx_type(self, uv_mode, tx_size):
+        if self.lossless or int(TXSIZE_SQR_UP[tx_size]) > TxSize.TX_32X32:
+            return 0
+        m = 0 if uv_mode == 13 else uv_mode
+        tt = int(INTRA_MODE_TO_TX_TYPE[m])
+        set_type = self._ext_tx_set_type(tx_size)
+        if not (int(EXT_TX_USED_FLAG[set_type]) >> tt) & 1:
+            return 0
+        return tt
+
+    def _ext_tx_set_type(self, tx_size):
+        sqr_up = int(TXSIZE_SQR_UP[tx_size])
+        if sqr_up > TxSize.TX_32X32:
+            return 0  # DCTONLY
+        if sqr_up == TxSize.TX_32X32:
+            return 0
+        if self.fh.reduced_tx_set:
+            return 2  # DTT4_IDTX
+        sqr = int(TXSIZE_SQR[tx_size])
+        return 2 if sqr == TxSize.TX_16X16 else 3
+
+    def _read_tx_type(self, mi_row, mi_col, tx_size, mode, filter_intra_mode,
+                      skip):
+        if skip or self.lossless:
+            return 0
+        if self.fh.quant.base_q_idx == 0:
+            return 0
+        set_type = self._ext_tx_set_type(tx_size)
+        if int(NUM_EXT_TX_SET[set_type]) <= 1:
+            return 0
+        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        sqr = int(TXSIZE_SQR[tx_size])
+        intra_dir = (int(FIMODE_TO_INTRADIR[filter_intra_mode])
+                     if filter_intra_mode >= 0 else mode)
+        sym = self._read_symbol(
+            self.fc.intra_ext_tx_cdf[eset][sqr][intra_dir],
+            int(NUM_EXT_TX_SET[set_type]))
+        return int(EXT_TX_INV[set_type][sym])
+
+    def _dequant(self, coeff, plane, tx_size):
+        dc, ac = self.dequant[plane]
+        shift = tx_scale(tx_size)
+        dqv = np.full(coeff.shape, ac, np.int64)
+        dqv[0] = dc
+        mag = np.abs(coeff.astype(np.int64)) * dqv
+        mag &= 0xFFFFFF
+        mag >>= shift
+        out = np.where(coeff < 0, -mag, mag)
+        lim = 1 << (7 + self.bd)
+        out = np.clip(out, -lim, lim - 1)
+        ts_adj = TS.adjusted_tx_size(tx_size)
+        return out.astype(np.int32).reshape(int(TX_WIDTH[ts_adj]),
+                                            int(TX_HEIGHT[ts_adj]))
+
+    # ------------------------------------------------------------------
+    def _predict_intra(self, plane, x, y, tx_size, mode, angle_delta,
+                       filter_intra_mode, blk_row, blk_col, bsize, up, left,
+                       chroma_up, chroma_left, partition, mi_row, mi_col):
+        """av1_predict_intra_block: availability + edge prep + predict."""
+        sx, sy = self.ss[plane]
+        buf = self.planes[plane]
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        have_top = blk_row > 0 or (chroma_up if plane else up)
+        have_left = blk_col > 0 or (chroma_left if plane else left)
+        bsize_eff = scale_chroma_bsize(bsize, sx, sy) if (sx or sy) else bsize
+        # frame-relative geometry (wpx/hpx in plane pixels)
+        w_px = int(BLOCK_WIDTH[bsize_eff]) >> sx
+        h_px = int(BLOCK_HEIGHT[bsize_eff]) >> sy
+        bx = blk_col * 4
+        by = blk_row * 4
+        frame_w = (self.mi_cols * 4) >> sx
+        frame_h = (self.mi_rows * 4) >> sy
+        blk_x0 = x - bx  # plane-px origin of the whole block
+        blk_y0 = y - by
+        xr = (frame_w - blk_x0 - w_px) + w_px - bx - txw
+        yd = (frame_h - blk_y0 - h_px) + h_px - by - txh
+        wu = int(TX_WIDE_UNIT[tx_size])
+        hu = int(TX_HIGH_UNIT[tx_size])
+        right_avail = (mi_col + ((blk_col + wu) << sx)) < self.tile_mi_col_end
+        bottom_avail = yd > 0 and (
+            (mi_row + ((blk_row + hu) << sy)) < self.tile_mi_row_end)
+        mi_row0, mi_col0 = mi_row, mi_col
+
+        mode_e = PredictionMode(mode)
+        p_angle = (MODE_TO_ANGLE.get(mode_e, 0) + angle_delta * 3
+                   if is_directional_mode(mode) else 0)
+        use_fi = filter_intra_mode is not None and filter_intra_mode >= 0
+        need = intra_ops.EXTEND_MODES[mode_e]
+        need_tr = bool(need & intra_ops.NEED_ABOVERIGHT)
+        need_bl = bool(need & intra_ops.NEED_BOTTOMLEFT)
+        if use_fi:
+            need_tr = need_bl = False
+        if is_directional_mode(mode):
+            need_tr = p_angle < 90
+            need_bl = p_angle > 180
+
+        have_tr = -1
+        if need_tr:
+            have_tr = self._has_top_right(bsize_eff, mi_row0, mi_col0,
+                                          have_top, right_avail, partition,
+                                          tx_size, blk_row, blk_col, sx, sy)
+        have_bl = -1
+        if need_bl:
+            have_bl = self._has_bottom_left(bsize_eff, mi_row0, mi_col0,
+                                            bottom_avail, have_left,
+                                            partition, tx_size, blk_row,
+                                            blk_col, sx, sy)
+
+        n_top = min(txw, xr + txw) if have_top else 0
+        n_tr = min(txw, xr) if have_tr > 0 else have_tr
+        n_left = min(txh, yd + txh) if have_left else 0
+        n_bl = min(txh, yd) if have_bl > 0 else have_bl
+
+        above_ref = np.zeros(2 * (txw + txh) + 2, np.int32)
+        left_ref = np.zeros(2 * (txw + txh) + 2, np.int32)
+        tl = 128
+        if n_top > 0:
+            n = n_top + max(n_tr, 0)
+            n = min(n, buf.shape[1] - x)
+            above_ref[:n] = buf[y - 1, x : x + n]
+            if n < n_top + max(n_tr, 0):
+                above_ref[n : n_top + max(n_tr, 0)] = above_ref[n - 1]
+        if n_left > 0:
+            n = n_left + max(n_bl, 0)
+            n = min(n, buf.shape[0] - y)
+            left_ref[:n] = buf[y : y + n, x - 1]
+            if n < n_left + max(n_bl, 0):
+                left_ref[n : n_left + max(n_bl, 0)] = left_ref[n - 1]
+        if n_top > 0 and n_left > 0:
+            tl = int(buf[y - 1, x - 1])
+
+        return intra_ops.build_intra_predictor(
+            above_ref, left_ref, tl, n_top, n_tr, n_left, n_bl, mode,
+            angle_delta, txw, txh,
+            filter_intra_mode=filter_intra_mode if use_fi else None,
+            disable_edge_filter=not self.seq.enable_intra_edge_filter,
+            intra_edge_filter_type=self.ef_types[1 if plane else 0],
+            bd=self.bd)
+
+    def _avail_table_bit(self, tables_pair, partition, bsize, blk_idx):
+        normal, vert = tables_pair
+        if partition in (Partition.VERT_A, Partition.VERT_B):
+            tab = vert[bsize]
+        else:
+            tab = normal[bsize]
+        return (int(tab[blk_idx // 8]) >> (blk_idx % 8)) & 1
+
+    def _has_top_right(self, bsize, mi_row, mi_col, top_avail, right_avail,
+                       partition, tx_size, row_off, col_off, ss_x, ss_y):
+        if not top_avail or not right_avail:
+            return 0
+        bw_unit = int(MI_W[bsize])
+        plane_bw_unit = max(bw_unit >> ss_x, 1)
+        tr_count = int(TX_WIDE_UNIT[tx_size])
+        if row_off > 0:
+            if int(BLOCK_WIDTH[bsize]) > 64:
+                if (row_off == (16 >> ss_y)
+                        and col_off + tr_count == (16 >> ss_x)):
+                    return 1
+                pbw64 = 16 >> ss_x
+                return (col_off % pbw64) + tr_count < pbw64
+            return col_off + tr_count < plane_bw_unit
+        if col_off + tr_count < plane_bw_unit:
+            return 1
+        bw_log2 = bw_unit.bit_length() - 1
+        bh_log2 = int(MI_H[bsize]).bit_length() - 1
+        sb_mi = self.sb_mi
+        blk_row_sb = (mi_row & (sb_mi - 1)) >> bh_log2
+        blk_col_sb = (mi_col & (sb_mi - 1)) >> bw_log2
+        if blk_row_sb == 0:
+            return 1
+        if ((blk_col_sb + 1) << bw_log2) >= sb_mi:
+            return 0
+        idx = (blk_row_sb << (5 - bw_log2)) + blk_col_sb
+        return self._avail_table_bit(self.has_tr_tables, partition, bsize, idx)
+
+    def _has_bottom_left(self, bsize, mi_row, mi_col, bottom_avail, left_avail,
+                         partition, tx_size, row_off, col_off, ss_x, ss_y):
+        if not bottom_avail or not left_avail:
+            return 0
+        if int(BLOCK_WIDTH[bsize]) > 64 and col_off > 0:
+            pbw64 = 16 >> ss_x
+            if col_off % pbw64 == 0:
+                pbh64 = 16 >> ss_y
+                row64 = row_off % pbh64
+                pbh = min(int(MI_H[bsize]) >> ss_y, pbh64)
+                return row64 + int(TX_HIGH_UNIT[tx_size]) < pbh
+        if col_off > 0:
+            return 0
+        bh_unit = int(MI_H[bsize])
+        plane_bh_unit = max(bh_unit >> ss_y, 1)
+        bl_count = int(TX_HIGH_UNIT[tx_size])
+        if row_off + bl_count < plane_bh_unit:
+            return 1
+        bw_log2 = int(MI_W[bsize]).bit_length() - 1
+        bh_log2 = bh_unit.bit_length() - 1
+        sb_mi = self.sb_mi
+        blk_row_sb = (mi_row & (sb_mi - 1)) >> bh_log2
+        blk_col_sb = (mi_col & (sb_mi - 1)) >> bw_log2
+        if blk_col_sb == 0:
+            blk_start_row_off = (blk_row_sb << bh_log2) >> ss_y
+            row_off_sb = blk_start_row_off + row_off
+            sb_h_unit = sb_mi >> ss_y
+            return row_off_sb + bl_count < sb_h_unit
+        if ((blk_row_sb + 1) << bh_log2) >= sb_mi:
+            return 0
+        idx = (blk_row_sb << (5 - bw_log2)) + blk_col_sb
+        return self._avail_table_bit(self.has_bl_tables, partition, bsize, idx)
+
+    # ------------------------------------------------------------------
+    def output_frame(self):
+        from ..utils.frame import Frame
+        y = np.clip(self.planes[0][: self.h, : self.w], 0, 255).astype(np.uint8)
+        if self.nplanes == 1:
+            return Frame(y, None, None)
+        sx, sy = self.ss[1]
+        cw = (self.w + sx) >> sx
+        ch = (self.h + sy) >> sy
+        u = np.clip(self.planes[1][:ch, :cw], 0, 255).astype(np.uint8)
+        v = np.clip(self.planes[2][:ch, :cw], 0, 255).astype(np.uint8)
+        return Frame(y, u, v)

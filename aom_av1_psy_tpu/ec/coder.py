@@ -38,6 +38,7 @@ class Encoder:
     """od_ec range encoder (entenc.c)."""
 
     def __init__(self) -> None:
+        self.allow_update = True  # frame-level disable_cdf_update gate
         self.buf = bytearray()
         self.low = 0  # 64-bit window
         self.rng = 0x8000
@@ -94,10 +95,10 @@ class Encoder:
         self.encode_q15(fl, int(icdf[s]), s, nsyms)
 
     def encode_symbol(self, s: int, icdf: np.ndarray, nsyms: int,
-                      allow_update: bool = True) -> None:
+                      allow_update: bool | None = None) -> None:
         """aom_write_symbol: code with adaptation."""
         self.encode_cdf(s, icdf, nsyms)
-        if allow_update:
+        if self.allow_update if allow_update is None else allow_update:
             update_cdf(icdf, s, nsyms)
 
     def encode_bool_q15(self, val: int, f: int) -> None:
@@ -150,6 +151,7 @@ class Decoder:
     WINDOW = 32
 
     def __init__(self, data: bytes) -> None:
+        self.allow_update = True  # frame-level disable_cdf_update gate
         self.buf = data
         self.bptr = 0
         self.end = len(data)
@@ -199,9 +201,9 @@ class Decoder:
         return self._normalize(dif, r, ret)
 
     def decode_symbol(self, icdf: np.ndarray, nsyms: int,
-                      allow_update: bool = True) -> int:
+                      allow_update: bool | None = None) -> int:
         ret = self.decode_cdf(icdf, nsyms)
-        if allow_update:
+        if self.allow_update if allow_update is None else allow_update:
             update_cdf(icdf, ret, nsyms)
         return ret
 

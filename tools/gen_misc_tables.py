@@ -60,6 +60,16 @@ def extract_array(src: str, name: str) -> np.ndarray:
 
 def main():
     out = {}
+    # auto-discover the has_top_right / has_bottom_left availability bitmask
+    # tables (reconintra.c:64-310)
+    with open(os.path.join(REF, "av1/common/reconintra.c")) as f:
+        recon_src = f.read()
+    for m in re.finditer(r"static uint8_t (has_(?:tr|bl)\w*)\[(\d+)\]",
+                         recon_src):
+        name, n = m.group(1), int(m.group(2))
+        arr = extract_array(recon_src, name).astype(np.uint8)
+        assert arr.size == n, name
+        out[name] = arr
     for rel, cname, key, shape, dt in TABLES:
         with open(os.path.join(REF, rel)) as f:
             src = f.read()
