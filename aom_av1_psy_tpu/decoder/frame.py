@@ -229,7 +229,8 @@ class FrameDecoder:
         self.tile_mi_col_start = t.col_starts[tile_col] * self.sb_mi
         self.tile_mi_col_end = min(t.col_starts[tile_col + 1] * self.sb_mi,
                                    self.mi_cols)
-        ncols = self.mi_cols
+        # superblock-aligned width: edge tx blocks may span past mi_cols
+        ncols = (self.mi_cols + self.sb_mi - 1) // self.sb_mi * self.sb_mi
         self.above_part = np.zeros(ncols, np.int32)
         self.above_txfm = np.zeros(ncols, np.int32)
         self.above_ent = [np.zeros(ncols >> sx, np.uint8) for sx, _ in self.ss]
@@ -278,13 +279,14 @@ class FrameDecoder:
                 partition = Partition(self._read_symbol(
                     self.fc.partition_cdf[ctx], partition_cdf_length(bsize)))
             elif has_cols:
+                # rows clipped: HORZ vs SPLIT via the vert-alike gather
                 cdf2 = gather_partition_cdf(self.fc.partition_cdf[ctx], bsize,
-                                            horz=True)
+                                            horz=False)
                 split = self.dec.decode_cdf(cdf2, 2)
                 partition = Partition.SPLIT if split else Partition.HORZ
             else:
                 cdf2 = gather_partition_cdf(self.fc.partition_cdf[ctx], bsize,
-                                            horz=False)
+                                            horz=True)
                 split = self.dec.decode_cdf(cdf2, 2)
                 partition = Partition.SPLIT if split else Partition.VERT
         else:
@@ -514,7 +516,7 @@ class FrameDecoder:
                 and int(BLOCK_HEIGHT[bsize]) <= 32)
 
     def _read_selected_tx_size(self, bsize, mi_row, mi_col, up, left):
-        cat = int(BSIZE_TO_TX_SIZE_CAT[bsize])
+        cat = int(BSIZE_TO_TX_SIZE_CAT[bsize]) - 1  # depth-1 (blockd.h:1355)
         max_depth = int(BSIZE_TO_MAX_DEPTH[bsize])
         max_tx = int(MAX_TXSIZE_RECT[bsize])
         above = int(self.above_txfm[mi_col]) >= int(TX_WIDTH[max_tx])
@@ -632,8 +634,19 @@ class FrameDecoder:
                 tx_type = self._uv_tx_type(uv_mode, tx_size)
                 coeff, eob, cul = C.read_coeffs_txb(
                     self.dec, fc, tx_size, tx_type, plane, skip_ctx, sign_ctx)
-            ac[acol : acol + wu] = cul
-            lc[lrow : lrow + hu] = cul
+            # av1_set_entropy_contexts: tx units past the frame edge get 0
+            bw_px = int(BLOCK_WIDTH[plane_bsize])
+            bh_px = int(BLOCK_HEIGHT[plane_bsize])
+            over_x = ((self.mi_cols - (mi_col + int(MI_W[bsize]))) * 4) >> sx
+            over_y = ((self.mi_rows - (mi_row + int(MI_H[bsize]))) * 4) >> sy
+            vis_w = (bw_px + min(over_x, 0)) >> 2
+            vis_h = (bh_px + min(over_y, 0)) >> 2
+            nw = max(0, min(wu, vis_w - blk_col))
+            nh = max(0, min(hu, vis_h - blk_row))
+            ac[acol : acol + nw] = cul
+            ac[acol + nw : acol + wu] = 0
+            lc[lrow : lrow + nh] = cul
+            lc[lrow + nh : lrow + hu] = 0
         else:
             tx_type = 0
 

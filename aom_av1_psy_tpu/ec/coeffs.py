@@ -101,15 +101,16 @@ def get_nz_mag(lv: Levels, padded_pos: int, bhl: int, tx_class: int) -> int:
     return mag
 
 
-def get_nz_map_ctx(lv: Levels, pos: int, bhl: int, ts_adj: int,
+def get_nz_map_ctx(lv: Levels, pos: int, bhl: int, tx_size: int,
                    tx_class: int) -> int:
-    """get_lower_levels_ctx (txb_common.h:252+)."""
+    """get_lower_levels_ctx (txb_common.h:252+). NB: the offset table is
+    indexed by the ORIGINAL tx size (av1_nz_map_ctx_offset[tx_size])."""
     stats = get_nz_mag(lv, lv.padded_idx(pos, bhl), bhl, tx_class)
     if (tx_class | pos) == 0:
         return 0
     ctx = min((stats + 1) >> 1, 4)
     if tx_class == TX_CLASS_2D:
-        return ctx + int(nz_map_ctx_offset(ts_adj)[pos])
+        return ctx + int(nz_map_ctx_offset(tx_size)[pos])
     col = pos >> bhl
     row = pos - (col << bhl)
     idx = col if tx_class == TX_CLASS_HORIZ else row
@@ -327,7 +328,7 @@ def read_coeffs_txb(dec: Decoder, fc, tx_size: int, tx_type: int, plane: int,
         br_cdf = fc.coeff_br_cdf[min(txs_ctx, int(TxSize.TX_32X32))][plane_type]
         for c in range(eob - 2, -1, -1):
             pos = int(scan[c])
-            coeff_ctx = get_nz_map_ctx(lv, pos, bhl, ts_adj, tx_class)
+            coeff_ctx = get_nz_map_ctx(lv, pos, bhl, tx_size, tx_class)
             level = dec.decode_symbol(base_cdf[coeff_ctx], 4)
             if level > NUM_BASE_LEVELS:
                 br_ctx = get_br_ctx(lv, pos, bhl, tx_class)
@@ -411,7 +412,7 @@ def write_coeffs_txb(enc: Encoder, fc, tx_size: int, tx_type: int, plane: int,
             coeff_ctx = get_lower_levels_ctx_eob(bhl, width, c)
             enc.encode_symbol(min(level, 3) - 1, base_eob_cdf[coeff_ctx], 3)
         else:
-            coeff_ctx = get_nz_map_ctx(lv, pos, bhl, ts_adj, tx_class)
+            coeff_ctx = get_nz_map_ctx(lv, pos, bhl, tx_size, tx_class)
             enc.encode_symbol(min(level, 3), base_cdf[coeff_ctx], 4)
         if level > NUM_BASE_LEVELS:
             base_range = level - 1 - NUM_BASE_LEVELS
