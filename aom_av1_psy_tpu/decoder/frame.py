@@ -179,6 +179,7 @@ class FrameDecoder:
         self.mi_cfl_idx = g(0)
         self.mi_cfl_signs = g(0)
         self.mi_valid = g(0)
+        self.mi_uv_tx = g(TxSize.TX_4X4)
         self.tx_type_map = g(0)
         # dequant tables per plane: (dc, ac)
         q = fh.quant
@@ -462,8 +463,16 @@ class FrameDecoder:
         self.left_txfm[lr : lr + bh4] = int(TX_HEIGHT[tx_size])
 
         # store MI
+        if self.nplanes > 1:
+            pb = get_plane_block_size(scale_chroma_bsize(bsize, ss_x, ss_y),
+                                      ss_x, ss_y)
+            uv_tx = (int(TxSize.TX_4X4) if self.lossless
+                     else TS.adjusted_tx_size(int(MAX_TXSIZE_RECT[pb])))
+        else:
+            uv_tx = int(TxSize.TX_4X4)
         r1, c1 = min(mi_row + bh4, self.mi_rows), min(mi_col + bw4,
                                                       self.mi_cols)
+        self.mi_uv_tx[mi_row:r1, mi_col:c1] = uv_tx
         self.mi_bsize[mi_row:r1, mi_col:c1] = bsize
         self.mi_mode[mi_row:r1, mi_col:c1] = mode
         self.mi_uv_mode[mi_row:r1, mi_col:c1] = uv_mode
@@ -937,6 +946,16 @@ class FrameDecoder:
             return 0
         idx = (blk_row_sb << (5 - bw_log2)) + blk_col_sb
         return self._avail_table_bit(self.has_bl_tables, partition, bsize, idx)
+
+    # ------------------------------------------------------------------
+    def apply_loop_filter(self):
+        from ..ops import deblock
+        info = deblock.DeblockInfo(self.mi_tx_size, self.mi_bsize,
+                                   self.mi_skip, np.zeros_like(self.mi_skip),
+                                   self.mi_rows, self.mi_cols)
+        for p in range(self.nplanes):
+            deblock.loop_filter_plane(self.planes[p], p, info, self.fh,
+                                      self.seq, uv_tx_grid=self.mi_uv_tx)
 
     # ------------------------------------------------------------------
     def output_frame(self):

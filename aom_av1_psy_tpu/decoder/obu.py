@@ -124,6 +124,7 @@ class Av1Decoder:
             self.fdec.decode_tile(tile_data, row, col, fc)
             self.tiles_parsed += 1
         if self.tiles_parsed == t.tile_cols * t.tile_rows:
+            self.fdec.apply_loop_filter()
             frames.append(self.fdec.output_frame())
 
 

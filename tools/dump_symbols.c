@@ -5,7 +5,7 @@
  * symbol in our decoder (tests/tools debugging only).
  *
  * Build: gcc tools/dump_symbols.c -I$REF -I$DBGBUILD $DBGBUILD/libaom.a -lm -lpthread
- * Usage: dump_symbols in.y4m out.ivf out.syms [cpu_used] [base_q]
+ * Usage: dump_symbols in.y4m out.ivf out.syms [cpu_used] [base_q] [enable_cdef]
  */
 #include <stdint.h>
 #include <stdio.h>
@@ -73,6 +73,10 @@ int main(int argc, char **argv) {
     aom_codec_control(&codec, AV1E_SET_LOSSLESS, 1);
   } else {
     aom_codec_control(&codec, AOME_SET_CQ_LEVEL, base_q);
+  }
+  if (argc > 6 && atoi(argv[6]) == 0) {
+    aom_codec_control(&codec, AV1E_SET_ENABLE_CDEF, 0);
+    aom_codec_control(&codec, AV1E_SET_ENABLE_RESTORATION, 0);
   }
 
   aom_image_t img;
