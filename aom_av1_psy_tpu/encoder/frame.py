@@ -1,0 +1,557 @@
+"""All-intra frame encoder — the minimum end-to-end slice.
+
+Mirrors the decoder's traversal and syntax (``av1/encoder/bitstream.c`` pack
+path + ``encodeframe.c`` walk) writing a conforming AV1 intra stream:
+partition tree, intra mode syntax, transform + quantize + coefficient
+coding, in-loop recon identical to the decoder's.
+
+Round-1 decision making is deliberately simple (uniform partition, SSE-best
+intra mode against in-loop recon edges, largest-tx); the search machinery
+widens in later rounds — the *syntax* written here is complete and
+conformant for the tools it uses.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..bitstream.headers import (SequenceHeader, FrameHeader, TileInfo,
+                                 write_frame_header)
+from ..bitstream.bitio import BitWriter, write_leb128
+from ..ec.coder import Encoder
+from ..ec.context import FrameContext
+from ..ec import coeffs as C
+from ..normative import tables
+from ..normative.enums import (BlockSize, Partition, PredictionMode, TxSize,
+                               BLOCK_WIDTH, BLOCK_HEIGHT, TX_WIDTH, TX_HEIGHT)
+from ..normative.blocks import (MI_W, MI_H, PARTITION_CTX_ABOVE,
+                                PARTITION_CTX_LEFT, INTRA_MODE_CONTEXT,
+                                INTRA_MODE_TO_TX_TYPE, EXT_TX_USED_FLAG,
+                                NUM_EXT_TX_SET, EXT_TX_SET_INDEX_INTRA,
+                                EXT_TX_IND, get_partition_subsize,
+                                get_plane_block_size, scale_chroma_bsize,
+                                is_directional_mode)
+from ..normative.txsize import MAX_TXSIZE_RECT, TX_WIDE_UNIT, TX_HIGH_UNIT
+from ..normative import txsize as TS
+from ..ops import intra as intra_ops
+from ..ops import txfm as txfm_ops
+from ..decoder.frame import (partition_cdf_length, gather_partition_cdf,
+                             CflCtx)
+from ..utils.frame import Frame
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    """Mirror of the subset of aom_codec_enc_cfg_t we drive (aom/aom_encoder.h)."""
+
+    base_q_idx: int = 60
+    lossless: bool = False
+    block_size: int = int(BlockSize.BLOCK_16X16)  # uniform partition size
+    # intra mode candidates: modes needing top-right/bottom-left extensions
+    # (D45/D203/D67) join once the encoder mirrors that availability
+    modes: tuple = (0, 1, 2, 4, 5, 6, 9, 10, 11, 12)
+
+    def __post_init__(self):
+        if self.lossless:
+            self.base_q_idx = 0
+
+
+class FrameEncoder:
+    """Encodes one all-intra KEY frame; maintains in-loop recon."""
+
+    def __init__(self, frame: Frame, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.src = frame
+        self.w, self.h = frame.width, frame.height
+        self.mi_cols = (self.w + 7) // 8 * 2
+        self.mi_rows = (self.h + 7) // 8 * 2
+        self.sb_mi = 16
+        self.nplanes = 1 if frame.monochrome else 3
+        self.ss = [(0, 0)] + [(frame.subsampling_x, frame.subsampling_y)] * 2
+        self.ss = self.ss[: self.nplanes]
+        self.lossless = cfg.lossless or cfg.base_q_idx == 0
+
+        # mi-aligned source + recon planes (int32), source padded by edge
+        # replication so cost search sees sane values
+        self.srcp = []
+        self.planes = []
+        for p, (sx, sy) in enumerate(self.ss):
+            pw = (self.mi_cols * 4) >> sx
+            ph = (self.mi_rows * 4) >> sy
+            s = frame.planes()[p].astype(np.int32)
+            pad = np.zeros((ph, pw), np.int32)
+            pad[: s.shape[0], : s.shape[1]] = s
+            if s.shape[1] < pw:
+                pad[: s.shape[0], s.shape[1] :] = s[:, -1:]
+            if s.shape[0] < ph:
+                pad[s.shape[0] :, :] = pad[s.shape[0] - 1 : s.shape[0], :]
+            self.srcp.append(pad)
+            self.planes.append(np.zeros((ph, pw), np.int32))
+
+        shape = (self.mi_rows, self.mi_cols)
+        g = lambda fill=0: np.full(shape, fill, np.int32)
+        self.mi_mode = g(PredictionMode.DC_PRED)
+        self.mi_skip = g(0)
+        self.mi_valid = g(0)
+
+        q = cfg.base_q_idx
+        self.dequant = []
+        for p in range(self.nplanes):
+            self.dequant.append((tables.dc_quant(q), tables.ac_quant(q)))
+
+    # ------------------------------------------------------------------
+    def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:
+        seq = SequenceHeader(
+            max_frame_width=self.w, max_frame_height=self.h,
+            frame_width_bits=max(self.w - 1, 1).bit_length(),
+            frame_height_bits=max(self.h - 1, 1).bit_length(),
+            enable_filter_intra=False, enable_intra_edge_filter=True,
+            enable_cdef=False, enable_restoration=False,
+            monochrome=self.nplanes == 1)
+        fh = FrameHeader(width=self.w, height=self.h,
+                         render_width=self.w, render_height=self.h)
+        fh.quant.base_q_idx = self.cfg.base_q_idx
+        fh.tx_mode_select = False  # TX_MODE_LARGEST
+        fh.tiles = TileInfo()
+        return seq, fh
+
+    # ------------------------------------------------------------------
+    def encode(self) -> bytes:
+        """Returns a full temporal unit (TD + sequence header + frame OBU)."""
+        seq, fh = self.make_headers()
+        self.seq, self.fh = seq, fh
+        self.fc = FrameContext(self.cfg.base_q_idx)
+        self.enc = Encoder()
+        self.enc.allow_update = not fh.disable_cdf_update
+
+        ncols = (self.mi_cols + self.sb_mi - 1) // self.sb_mi * self.sb_mi
+        self.above_part = np.zeros(ncols, np.int32)
+        self.above_ent = [np.zeros(ncols >> sx, np.uint8) for sx, _ in self.ss]
+        for r0 in range(0, self.mi_rows, self.sb_mi):
+            self.left_part = np.zeros(self.sb_mi, np.int32)
+            self.left_ent = [np.zeros(self.sb_mi >> sy, np.uint8)
+                             for _, sy in self.ss]
+            for c0 in range(0, self.mi_cols, self.sb_mi):
+                self.encode_partition(r0, c0, int(BlockSize.BLOCK_64X64))
+        tile_data = self.enc.done()
+
+        # assemble OBUs
+        td = bytes([0x12, 0x00])  # temporal delimiter w/ size 0
+        w = BitWriter()
+        seq.write(w)
+        w.trailing_bits()
+        seq_payload = w.data()
+        seq_obu = bytes([0x0A]) + write_leb128(len(seq_payload)) + seq_payload
+        w = BitWriter()
+        write_frame_header(w, seq, fh)
+        w.byte_align()
+        frame_payload = w.data() + tile_data
+        frame_obu = bytes([0x32]) + write_leb128(len(frame_payload)) + \
+            frame_payload
+        return td + seq_obu + frame_obu
+
+    # ------------------------------------------------------------------
+    def partition_ctx(self, mi_row, mi_col, bsize):
+        bsl = int(MI_W[bsize]).bit_length() - 2
+        above = (int(self.above_part[mi_col]) >> bsl) & 1
+        left = (int(self.left_part[mi_row & (self.sb_mi - 1)]) >> bsl) & 1
+        return (left * 2 + above) + bsl * 4
+
+    def update_partition_ctx(self, mi_row, mi_col, subsize, bsize):
+        bw, bh = int(MI_W[bsize]), int(MI_H[bsize])
+        self.above_part[mi_col : mi_col + bw] = PARTITION_CTX_ABOVE[subsize]
+        lr = mi_row & (self.sb_mi - 1)
+        self.left_part[lr : lr + bh] = PARTITION_CTX_LEFT[subsize]
+
+    def encode_partition(self, mi_row, mi_col, bsize):
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        hbs = int(MI_W[bsize]) // 2
+        has_rows = mi_row + hbs < self.mi_rows
+        has_cols = mi_col + hbs < self.mi_cols
+        # uniform partition: SPLIT until cfg.block_size, then NONE; frame-edge
+        # blocks must keep splitting (NONE is not codable there)
+        target = self.cfg.block_size
+        if bsize > target or not (has_rows and has_cols):
+            partition = Partition.SPLIT
+        else:
+            partition = Partition.NONE
+        if bsize >= BlockSize.BLOCK_8X8:
+            ctx = self.partition_ctx(mi_row, mi_col, bsize)
+            if not has_rows and not has_cols:
+                assert partition == Partition.SPLIT
+            elif has_rows and has_cols:
+                self.enc.encode_symbol(int(partition),
+                                       self.fc.partition_cdf[ctx],
+                                       partition_cdf_length(bsize))
+            elif has_cols:
+                assert partition in (Partition.SPLIT, Partition.HORZ)
+                cdf2 = gather_partition_cdf(self.fc.partition_cdf[ctx], bsize,
+                                            horz=False)
+                self.enc.encode_cdf(int(partition == Partition.SPLIT), cdf2, 2)
+            else:
+                assert partition in (Partition.SPLIT, Partition.VERT)
+                cdf2 = gather_partition_cdf(self.fc.partition_cdf[ctx], bsize,
+                                            horz=True)
+                self.enc.encode_cdf(int(partition == Partition.SPLIT), cdf2, 2)
+        else:
+            partition = Partition.NONE
+        subsize = get_partition_subsize(bsize, partition)
+
+        if partition == Partition.NONE:
+            self.encode_block(mi_row, mi_col, subsize)
+        else:  # SPLIT
+            self.encode_partition(mi_row, mi_col, subsize)
+            self.encode_partition(mi_row, mi_col + hbs, subsize)
+            self.encode_partition(mi_row + hbs, mi_col, subsize)
+            self.encode_partition(mi_row + hbs, mi_col + hbs, subsize)
+        if bsize >= BlockSize.BLOCK_8X8:
+            if partition == Partition.NONE or bsize == BlockSize.BLOCK_8X8:
+                self.update_partition_ctx(mi_row, mi_col, subsize, bsize)
+
+    # ------------------------------------------------------------------
+    def _predict(self, plane, x, y, tx_size, mode, have_above, have_left,
+                 n_top, n_tr, n_left, n_bl):
+        buf = self.planes[plane]
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        above_ref = np.zeros(2 * (txw + txh) + 2, np.int32)
+        left_ref = np.zeros(2 * (txw + txh) + 2, np.int32)
+        tl = 128
+        if n_top > 0:
+            n = min(n_top + max(n_tr, 0), buf.shape[1] - x)
+            above_ref[:n] = buf[y - 1, x : x + n]
+            need = n_top + max(n_tr, 0)
+            if n < need:
+                above_ref[n:need] = above_ref[n - 1]
+        if n_left > 0:
+            n = min(n_left + max(n_bl, 0), buf.shape[0] - y)
+            left_ref[:n] = buf[y : y + n, x - 1]
+            need = n_left + max(n_bl, 0)
+            if n < need:
+                left_ref[n:need] = left_ref[n - 1]
+        if n_top > 0 and n_left > 0:
+            tl = int(buf[y - 1, x - 1])
+        return intra_ops.build_intra_predictor(
+            above_ref, left_ref, tl, n_top, n_tr, n_left, n_bl, mode, 0,
+            txw, txh, disable_edge_filter=not self.seq.enable_intra_edge_filter,
+            intra_edge_filter_type=self._ef_type(plane), bd=8)
+
+    def _ef_type(self, plane):
+        return self.ef_types[1 if plane else 0]
+
+    # ------------------------------------------------------------------
+    def encode_block(self, mi_row, mi_col, bsize):
+        fc = self.fc
+        bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+        up = mi_row > 0
+        left = mi_col > 0
+        ss_x, ss_y = self.ss[1] if self.nplanes > 1 else (1, 1)
+        is_chroma_ref = self.nplanes > 1 and (
+            ((mi_row & 1) or not (bh4 & 1) or not ss_y)
+            and ((mi_col & 1) or not (bw4 & 1) or not ss_x))
+        chroma_up, chroma_left = up, left
+        if ss_x and bw4 < 2:
+            chroma_left = mi_col - 1 > 0
+        if ss_y and bh4 < 2:
+            chroma_up = mi_row - 1 > 0
+
+        # mode decision: per-plane-0 SSE over candidate modes w/ recon edges
+        mode = self._pick_y_mode(mi_row, mi_col, bsize, up, left)
+        uv_mode = int(PredictionMode.DC_PRED)
+
+        # neighbors' smoothness for edge filter type
+        above_mode = int(self.mi_mode[mi_row - 1, mi_col]) if up else 0
+        left_mode = int(self.mi_mode[mi_row, mi_col - 1]) if left else 0
+        ab_sm = up and above_mode in (9, 10, 11)
+        le_sm = left and left_mode in (9, 10, 11)
+        self.ef_types = (1 if (ab_sm or le_sm) else 0, 0)
+
+        # transform/quantize all planes first to decide `skip`
+        txs = self._block_txbs(mi_row, mi_col, bsize, mode, uv_mode,
+                               is_chroma_ref, up, left, chroma_up, chroma_left)
+        skip = int(all(t["eob"] == 0 for t in txs))
+
+        # ---- write mode info ----
+        skip_ctx = 0
+        if up:
+            skip_ctx += int(self.mi_skip[mi_row - 1, mi_col])
+        if left:
+            skip_ctx += int(self.mi_skip[mi_row, mi_col - 1])
+        self.enc.encode_symbol(skip, fc.skip_txfm_cdfs[skip_ctx], 2)
+
+        actx = int(INTRA_MODE_CONTEXT[above_mode if up else 0])
+        lctx = int(INTRA_MODE_CONTEXT[left_mode if left else 0])
+        self.enc.encode_symbol(mode, fc.kf_y_cdf[actx][lctx], 13)
+        if bsize >= BlockSize.BLOCK_8X8 and is_directional_mode(mode):
+            self.enc.encode_symbol(3, fc.angle_delta_cdf[mode - 1], 7)  # delta 0
+        if is_chroma_ref:
+            cfl_allowed = (int(BLOCK_WIDTH[bsize]) <= 32
+                           and int(BLOCK_HEIGHT[bsize]) <= 32)
+            if self.lossless:
+                cfl_allowed = get_plane_block_size(bsize, ss_x, ss_y) == \
+                    BlockSize.BLOCK_4X4
+            self.enc.encode_symbol(uv_mode,
+                                   fc.uv_mode_cdf[int(cfl_allowed)][mode],
+                                   14 if cfl_allowed else 13)
+            if bsize >= BlockSize.BLOCK_8X8 and is_directional_mode(uv_mode):
+                self.enc.encode_symbol(3, fc.angle_delta_cdf[uv_mode - 1], 7)
+        # filter_intra: seq-disabled -> no bit; tx size: TX_MODE_LARGEST -> none
+
+        # store MI
+        r1 = min(mi_row + bh4, self.mi_rows)
+        c1 = min(mi_col + bw4, self.mi_cols)
+        self.mi_mode[mi_row:r1, mi_col:c1] = mode
+        self.mi_skip[mi_row:r1, mi_col:c1] = skip
+        self.mi_valid[mi_row:r1, mi_col:c1] = 1
+
+        if skip:
+            self._reset_entropy_ctx(mi_row, mi_col, bsize, is_chroma_ref)
+
+        # ---- write residual + finalize recon ----
+        for t in txs:
+            self._write_txb(t, skip, bsize, mi_row, mi_col)
+
+    # ------------------------------------------------------------------
+    def _pick_y_mode(self, mi_row, mi_col, bsize, up, left):
+        """Cheap mode search: SSE of prediction vs source at block scale."""
+        x, y = mi_col * 4, mi_row * 4
+        tx_size = self._y_tx_size(bsize)
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        n_top = txw if up else 0
+        n_left = txh if left else 0
+        best, best_mode = None, int(PredictionMode.DC_PRED)
+        src = self.srcp[0][y : y + txh, x : x + txw]
+        vh, vw = src.shape  # clipped at the mi-aligned frame edge
+        self.ef_types = (0, 0)
+        for mode in self.cfg.modes:
+            if is_directional_mode(mode) and bsize < BlockSize.BLOCK_8X8:
+                continue
+            pred = self._predict(0, x, y, tx_size, mode, up, left, n_top, -1,
+                                 n_left, -1)
+            sse = int(((pred[:vh, :vw] - src) ** 2).sum())
+            if best is None or sse < best:
+                best, best_mode = sse, mode
+        return best_mode
+
+    def _y_tx_size(self, bsize):
+        if self.lossless:
+            return int(TxSize.TX_4X4)
+        return int(MAX_TXSIZE_RECT[bsize])  # TX_MODE_LARGEST
+
+    def _uv_tx_size(self, bsize, ss_x, ss_y):
+        if self.lossless:
+            return int(TxSize.TX_4X4)
+        pb = get_plane_block_size(scale_chroma_bsize(bsize, ss_x, ss_y),
+                                  ss_x, ss_y)
+        return TS.adjusted_tx_size(int(MAX_TXSIZE_RECT[pb]))
+
+    # ------------------------------------------------------------------
+    def _block_txbs(self, mi_row, mi_col, bsize, mode, uv_mode, is_chroma_ref,
+                    up, left, chroma_up, chroma_left):
+        """Predict + transform + quantize + recon every tx block; returns
+        txb descriptors in coding order."""
+        out = []
+        max_w4 = min(int(MI_W[bsize]), self.mi_cols - mi_col)
+        max_h4 = min(int(MI_H[bsize]), self.mi_rows - mi_row)
+        mu_w = min(16, max_w4)
+        mu_h = min(16, max_h4)
+        for row in range(0, max_h4, mu_h):
+            for col in range(0, max_w4, mu_w):
+                for plane in range(self.nplanes):
+                    if plane and not is_chroma_ref:
+                        break
+                    sx, sy = self.ss[plane]
+                    tx_size = (self._y_tx_size(bsize) if plane == 0
+                               else self._uv_tx_size(bsize, sx, sy))
+                    stepr = int(TX_HIGH_UNIT[tx_size])
+                    stepc = int(TX_WIDE_UNIT[tx_size])
+                    unit_h = (min(mu_h + row, max_h4) + sy) >> sy
+                    unit_w = (min(mu_w + col, max_w4) + sx) >> sx
+                    for br in range(row >> sy, unit_h, stepr):
+                        for bc in range(col >> sx, unit_w, stepc):
+                            out.append(self._do_txb(
+                                mi_row, mi_col, bsize, plane, br, bc, tx_size,
+                                mode, uv_mode, up, left, chroma_up,
+                                chroma_left))
+        return out
+
+    def _do_txb(self, mi_row, mi_col, bsize, plane, blk_row, blk_col, tx_size,
+                mode, uv_mode, up, left, chroma_up, chroma_left):
+        sx, sy = self.ss[plane]
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        x = ((mi_col >> sx) << 2) + (blk_col << 2)
+        y = ((mi_row >> sy) << 2) + (blk_row << 2)
+        if plane and (sx or sy):
+            bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+            ax_mi = mi_col - (1 if (sx and (mi_col & 1) and bw4 == 1) else 0)
+            ay_mi = mi_row - (1 if (sy and (mi_row & 1) and bh4 == 1) else 0)
+            x = ((ax_mi << 2) >> sx) + (blk_col << 2)
+            y = ((ay_mi << 2) >> sy) + (blk_row << 2)
+
+        pmode = mode if plane == 0 else uv_mode
+        have_top = blk_row > 0 or (chroma_up if plane else up)
+        have_left = blk_col > 0 or (chroma_left if plane else left)
+        # mirror the decoder's xr/yd edge clipping exactly
+        frame_w = (self.mi_cols * 4) >> sx
+        frame_h = (self.mi_rows * 4) >> sy
+        bx, by = blk_col * 4, blk_row * 4
+        xr = frame_w - (x - bx) - bx - txw
+        yd = frame_h - (y - by) - by - txh
+        n_top = min(txw, xr + txw) if have_top else 0
+        n_left = min(txh, yd + txh) if have_left else 0
+        pred = self._predict(plane, x, y, tx_size, pmode, have_top, have_left,
+                             n_top, -1, n_left, -1)
+
+        src = self.srcp[plane][y : y + txh, x : x + txw]
+        if src.shape != (txh, txw):
+            # tx block overhangs the mi-aligned frame: edge-replicate source
+            full = np.empty((txh, txw), np.int32)
+            full[: src.shape[0], : src.shape[1]] = src
+            if src.shape[1] < txw:
+                full[: src.shape[0], src.shape[1] :] = src[:, -1:]
+            if src.shape[0] < txh:
+                full[src.shape[0] :, :] = full[src.shape[0] - 1, :]
+            src = full
+        res = (src - pred).astype(np.int64)
+
+        dc_q, ac_q = self.dequant[plane]
+        shift = TS.tx_scale(tx_size)
+        if self.lossless:
+            # WHT output = 4 * invertible-core(res); dequant multiplies by 4
+            # and the inverse WHT shifts >>2, so level = output / 4 exactly
+            coeffs = txfm_ops.fwht4x4(res[None])[0]  # (4,4) W,H layout
+            levels = coeffs.reshape(-1) // 4
+            tx_type = 0
+        else:
+            # decoder reconstructs (level*dqv)>>shift ≈ F, so
+            # level = round(F << shift / dqv) (av1_quantize_fp domain)
+            ts_adj = TS.adjusted_tx_size(tx_size)
+            cw, ch = int(TX_WIDTH[ts_adj]), int(TX_HEIGHT[ts_adj])
+            coeffs = txfm_ops.fwd_txfm2d(res[None], tx_size, 0, bd=8)[0]
+            flat = coeffs[:cw, :ch].reshape(-1).astype(np.int64)
+            dqv = np.full(flat.shape, ac_q, np.int64)
+            dqv[0] = dc_q
+            scaled = np.abs(flat) << shift
+            levels = np.sign(flat) * ((scaled + (dqv >> 1)) // dqv)
+            levels = np.clip(levels, -(1 << 15), (1 << 15) - 1)
+            tx_type = 0
+        levels = levels.astype(np.int32)
+
+        scan = tables.scan_table(TS.adjusted_tx_size(tx_size), tx_type)
+        nz = np.nonzero(levels[scan] != 0)[0]
+        eob = int(nz[-1]) + 1 if len(nz) else 0
+
+        # recon (must match decoder exactly)
+        buf = self.planes[plane]
+        if eob > 0:
+            dq = self._dequant_levels(levels, plane, tx_size)
+            if self.lossless:
+                rec = txfm_ops.iwht4x4_add(dq[None], pred[None, :4, :4], bd=8)[0]
+            else:
+                ts_adj = TS.adjusted_tx_size(tx_size)
+                cw, ch = int(TX_WIDTH[ts_adj]), int(TX_HEIGHT[ts_adj])
+                full = np.zeros((txw, txh), np.int32)
+                full[:cw, :ch] = dq.reshape(cw, ch)
+                rec = txfm_ops.inv_txfm2d_add(full[None], pred[None], tx_size,
+                                              tx_type, bd=8)[0]
+        else:
+            rec = pred
+        vh = min(txh, buf.shape[0] - y)
+        vw = min(txw, buf.shape[1] - x)
+        buf[y : y + vh, x : x + vw] = rec[:vh, :vw]
+
+        return {"plane": plane, "tx_size": tx_size, "tx_type": tx_type,
+                "levels": levels, "eob": eob, "blk_row": blk_row,
+                "blk_col": blk_col, "mi_row": mi_row, "mi_col": mi_col,
+                "bsize": bsize, "mode": mode, "uv_mode": uv_mode}
+
+    def _dequant_levels(self, levels, plane, tx_size):
+        dc, ac = self.dequant[plane]
+        shift = TS.tx_scale(tx_size)
+        dqv = np.full(levels.shape, ac, np.int64)
+        dqv[0] = dc
+        mag = np.abs(levels.astype(np.int64)) * dqv
+        mag &= 0xFFFFFF
+        mag >>= shift
+        out = np.where(levels < 0, -mag, mag)
+        out = np.clip(out, -(1 << 15), (1 << 15) - 1)
+        ts_adj = TS.adjusted_tx_size(tx_size)
+        return out.astype(np.int32).reshape(int(TX_WIDTH[ts_adj]),
+                                            int(TX_HEIGHT[ts_adj]))
+
+    # ------------------------------------------------------------------
+    def _reset_entropy_ctx(self, mi_row, mi_col, bsize, is_chroma_ref):
+        for p in range(self.nplanes):
+            if p and not is_chroma_ref:
+                break
+            sx, sy = self.ss[p]
+            pb = get_plane_block_size(bsize, sx, sy) if p else bsize
+            self.above_ent[p][mi_col >> sx : (mi_col >> sx) + int(MI_W[pb])] = 0
+            r = (mi_row & (self.sb_mi - 1)) >> sy
+            self.left_ent[p][r : r + int(MI_H[pb])] = 0
+
+    def _write_txb(self, t, skip, bsize, mi_row, mi_col):
+        if skip:
+            return
+        plane = t["plane"]
+        sx, sy = self.ss[plane]
+        tx_size = t["tx_size"]
+        wu = int(TX_WIDE_UNIT[tx_size])
+        hu = int(TX_HIGH_UNIT[tx_size])
+        plane_bsize = bsize if plane == 0 else get_plane_block_size(
+            scale_chroma_bsize(bsize, sx, sy), sx, sy)
+        ac = self.above_ent[plane]
+        lc = self.left_ent[plane]
+        acol = (mi_col >> sx) + t["blk_col"]
+        lrow = ((mi_row & (self.sb_mi - 1)) >> sy) + t["blk_row"]
+        skip_ctx, sign_ctx = C.get_txb_ctx(plane_bsize, tx_size, plane,
+                                           ac[acol : acol + wu],
+                                           lc[lrow : lrow + hu])
+
+        def write_tx_type():
+            self._write_tx_type(t, tx_size)
+
+        cul = C.write_coeffs_txb(self.enc, self.fc, tx_size, t["tx_type"],
+                                 plane, t["levels"], t["eob"], skip_ctx,
+                                 sign_ctx,
+                                 write_tx_type_fn=write_tx_type
+                                 if plane == 0 else None)
+        from ..normative.enums import BLOCK_WIDTH, BLOCK_HEIGHT
+        bw_px = int(BLOCK_WIDTH[plane_bsize])
+        bh_px = int(BLOCK_HEIGHT[plane_bsize])
+        over_x = ((self.mi_cols - (mi_col + int(MI_W[bsize]))) * 4) >> sx
+        over_y = ((self.mi_rows - (mi_row + int(MI_H[bsize]))) * 4) >> sy
+        vis_w = (bw_px + min(over_x, 0)) >> 2
+        vis_h = (bh_px + min(over_y, 0)) >> 2
+        nw = max(0, min(wu, vis_w - t["blk_col"]))
+        nh = max(0, min(hu, vis_h - t["blk_row"]))
+        ac[acol : acol + nw] = cul
+        ac[acol + nw : acol + wu] = 0
+        lc[lrow : lrow + nh] = cul
+        lc[lrow + nh : lrow + hu] = 0
+
+    def _write_tx_type(self, t, tx_size):
+        """av1_write_tx_type mirror: only DCT_DCT in round 1."""
+        if self.lossless or self.cfg.base_q_idx == 0 or t["eob"] == 0:
+            return
+        from ..normative.txsize import TXSIZE_SQR, TXSIZE_SQR_UP
+        sqr_up = int(TXSIZE_SQR_UP[tx_size])
+        if sqr_up > TxSize.TX_32X32 or sqr_up == TxSize.TX_32X32:
+            return  # DCT-only set: nothing coded
+        set_type = 2 if (self.fh.reduced_tx_set
+                         or int(TXSIZE_SQR[tx_size]) == TxSize.TX_16X16) else 3
+        nsyms = int(NUM_EXT_TX_SET[set_type])
+        if nsyms <= 1:
+            return
+        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        sqr = int(TXSIZE_SQR[tx_size])
+        sym = int(EXT_TX_IND[set_type][t["tx_type"]])
+        self.enc.encode_symbol(
+            sym, self.fc.intra_ext_tx_cdf[eset][sqr][t["mode"]], nsyms)
+
+
+def encode_ivf(frames: list, cfg: EncoderConfig, path: str) -> None:
+    packets = [FrameEncoder(f, cfg).encode() for f in frames]
+    from ..bitstream.containers import write_ivf
+    write_ivf(path, packets, frames[0].width, frames[0].height)
