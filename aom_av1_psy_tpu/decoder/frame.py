@@ -193,6 +193,10 @@ class FrameDecoder:
                 np.clip(q.base_q_idx + deltas[p][1], 0, 255)]
             self.dequant.append((int(dcq), int(acq)))
         self.lossless = fh.coded_lossless
+        self.cdef_unit_strength = np.full(((self.mi_rows + 15) // 16,
+                                           (self.mi_cols + 15) // 16), -1,
+                                          np.int32)
+        self.cdef_transmitted = [False] * 4
         self.has_tr_tables = self._load_avail_tables("tr")
         self.has_bl_tables = self._load_avail_tables("bl")
 
@@ -396,6 +400,22 @@ class FrameDecoder:
         if left:
             skip_ctx += int(self.mi_skip[left_mi])
         skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
+
+        # read_cdef (decodemv.c): per-64x64 strength literal at the first
+        # non-skip block of each CDEF unit
+        if not self.lossless and not self.fh.allow_intrabc:
+            if (mi_row & (self.sb_mi - 1)) == 0 and \
+                    (mi_col & (self.sb_mi - 1)) == 0:
+                self.cdef_transmitted = [False] * 4
+            if self.sb_mi == 32:
+                index = int((mi_col & 16) != 0) + 2 * int((mi_row & 16) != 0)
+            else:
+                index = 0
+            if not self.cdef_transmitted[index] and not skip:
+                bits = self.fh.cdef.bits
+                self.cdef_unit_strength[mi_row >> 4, mi_col >> 4] = \
+                    self.dec.read_literal(bits)
+                self.cdef_transmitted[index] = True
 
         above_mode = (int(self.mi_mode[above_mi]) if up else
                       PredictionMode.DC_PRED)
@@ -956,6 +976,12 @@ class FrameDecoder:
         for p in range(self.nplanes):
             deblock.loop_filter_plane(self.planes[p], p, info, self.fh,
                                       self.seq, uv_tx_grid=self.mi_uv_tx)
+        if self.seq.enable_cdef and not self.lossless \
+                and not self.fh.allow_intrabc:
+            from ..ops import cdef as cdef_ops
+            cdef_ops.cdef_frame(self.planes, self.mi_skip,
+                                self.cdef_unit_strength, self.fh, self.seq,
+                                self.mi_rows, self.mi_cols)
 
     # ------------------------------------------------------------------
     def output_frame(self):

@@ -1,0 +1,236 @@
+"""CDEF — constrained directional enhancement filter (normative).
+
+Reimplements ``av1/common/cdef.c`` + ``cdef_block.c`` as batched array code.
+Key simplification with identical results: every CDEF tap reads *pre-CDEF*
+(post-deblock) pixels — the reference's line/column buffers exist only to
+preserve them — so the whole frame filters as a pure function of one padded
+pre-CDEF copy, fully parallel over 8x8 blocks.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+CDEF_VERY_LARGE = 0x4000
+PRI_TAPS = ((4, 2), (3, 3))
+SEC_TAPS = (2, 1)
+
+# (dy, dx) tap offsets per direction, two rings (cdef_block.c:25-47)
+DIRS = np.array([
+    [(-1, 1), (-2, 2)],
+    [(0, 1), (-1, 2)],
+    [(0, 1), (0, 2)],
+    [(0, 1), (1, 2)],
+    [(1, 1), (2, 2)],
+    [(1, 0), (2, 1)],
+    [(1, 0), (2, 0)],
+    [(1, 0), (2, -1)],
+], np.int32)
+
+
+def _msb(v: np.ndarray | int):
+    return np.maximum(np.int32(np.log2(np.maximum(v, 1))), 0).astype(np.int32)
+
+
+def find_dir_blocks(blocks: np.ndarray, coeff_shift: int = 0):
+    """Direction + variance per 8x8 block, vectorized (cdef_find_dir_c).
+
+    blocks: (N, 8, 8) int array. Returns (dir (N,), var (N,))."""
+    n = blocks.shape[0]
+    x = (blocks >> coeff_shift).astype(np.int64) - 128
+    partial = np.zeros((8, n, 15), np.int64)
+    ii, jj = np.mgrid[0:8, 0:8]
+    lines = [ii + jj, ii + jj // 2, ii, 3 + ii - jj // 2, 7 + ii - jj,
+             3 - ii // 2 + jj, jj, ii // 2 + jj]
+    for d in range(8):
+        idx = lines[d]
+        for i in range(8):
+            for j in range(8):
+                partial[d, :, idx[i, j]] += x[:, i, j]
+    div = np.array([0, 840, 420, 280, 210, 168, 140, 120, 105], np.int64)
+    cost = np.zeros((8, n), np.int64)
+    cost[2] = (partial[2, :, :8] ** 2).sum(1) * div[8]
+    cost[6] = (partial[6, :, :8] ** 2).sum(1) * div[8]
+    for i in range(7):
+        cost[0] += (partial[0, :, i] ** 2 + partial[0, :, 14 - i] ** 2) * div[i + 1]
+        cost[4] += (partial[4, :, i] ** 2 + partial[4, :, 14 - i] ** 2) * div[i + 1]
+    cost[0] += partial[0, :, 7] ** 2 * div[8]
+    cost[4] += partial[4, :, 7] ** 2 * div[8]
+    for i in range(1, 8, 2):
+        cost[i] += (partial[i, :, 3:8] ** 2).sum(1) * div[8]
+        for j in range(3):
+            cost[i] += (partial[i, :, j] ** 2
+                        + partial[i, :, 10 - j] ** 2) * div[2 * j + 2]
+    best_dir = np.argmax(cost, axis=0).astype(np.int32)
+    best_cost = np.take_along_axis(cost, best_dir[None], 0)[0]
+    ortho = np.take_along_axis(cost, ((best_dir + 4) & 7)[None], 0)[0]
+    var = ((best_cost - ortho) >> 10).astype(np.int64)
+    return best_dir, var
+
+
+def _constrain(diff, threshold, damping):
+    if threshold == 0:
+        return np.zeros_like(diff)
+    shift = max(0, damping - int(threshold).bit_length() + 1)
+    a = np.abs(diff)
+    return np.sign(diff) * np.minimum(a, np.maximum(0, threshold - (a >> shift)))
+
+
+def filter_blocks(ctx: np.ndarray, dirs: np.ndarray, pri_t: np.ndarray,
+                  sec_t: int, pri_damping: int, sec_damping: int,
+                  coeff_shift: int, bh: int, bw: int) -> np.ndarray:
+    """Filter N blocks. ctx: (N, bh+4, bw+4) int32 with 2px borders
+    (CDEF_VERY_LARGE where unavailable); dirs/pri_t per block.
+    Returns filtered (N, bh, bw)."""
+    n = ctx.shape[0]
+    x = ctx[:, 2 : 2 + bh, 2 : 2 + bw]
+    total = np.zeros((n, bh, bw), np.int32)
+    mx = x.copy()
+    mn = x.copy()
+    rows = 2 + np.arange(bh)[None, :, None]
+    cols = 2 + np.arange(bw)[None, None, :]
+    bidx = np.arange(n)[:, None, None]
+
+    # primary taps: constrain threshold is per-block -> loop over distinct
+    pri_groups = {}
+    for i, t in enumerate(pri_t):
+        pri_groups.setdefault(int(t), []).append(i)
+
+    for k in range(2):
+        d = DIRS[dirs][:, k]  # (N, 2)
+        dy = d[:, 0][:, None, None]
+        dx = d[:, 1][:, None, None]
+        for sign in (1, -1):
+            p = ctx[bidx, rows + sign * dy, cols + sign * dx]
+            valid = p != CDEF_VERY_LARGE
+            mx = np.where(valid, np.maximum(p, mx), mx)
+            mn = np.minimum(p, mn)
+            for t, members in pri_groups.items():
+                if t == 0:
+                    continue
+                tap = PRI_TAPS[(t >> coeff_shift) & 1][k]
+                m = np.zeros(n, bool)
+                m[members] = True
+                contrib = tap * _constrain(p - x, t, pri_damping)
+                total += np.where(m[:, None, None], contrib, 0)
+        # secondary taps at dir+2 / dir-2
+        for ddir in (2, -2):
+            d2 = DIRS[(dirs + ddir) & 7][:, k]
+            dy2 = d2[:, 0][:, None, None]
+            dx2 = d2[:, 1][:, None, None]
+            for sign in (1, -1):
+                s = ctx[bidx, rows + sign * dy2, cols + sign * dx2]
+                valid = s != CDEF_VERY_LARGE
+                mx = np.where(valid, np.maximum(s, mx), mx)
+                mn = np.minimum(s, mn)
+                if sec_t:
+                    total += SEC_TAPS[k] * _constrain(s - x, sec_t, sec_damping)
+
+    y = x + ((8 + total - (total < 0)) >> 4)
+    # clipping applies when both primary and secondary paths are enabled;
+    # per-block pri_t==0 disables primary -> no clip per reference dispatch
+    clip = (pri_t != 0)[:, None, None] & (sec_t != 0)
+    y = np.where(clip, np.clip(y, mn, mx), y)
+    # when pri_t==0 and sec==0 the block is untouched
+    untouched = (pri_t == 0)[:, None, None] & (sec_t == 0)
+    return np.where(untouched, x, y)
+
+
+def cdef_frame(planes, mi_skip, unit_strength, fh, seq, mi_rows, mi_cols):
+    """Apply CDEF in place. planes: list of int32 (mi-aligned). mi_skip:
+    (mi_rows, mi_cols) skip flags. unit_strength: per-64x64 strength index
+    grid (-1 = not coded)."""
+    c = fh.cdef
+    nplanes = len(planes)
+    damping = c.damping
+    coeff_shift = 0  # 8-bit
+    nvfb = (mi_rows + 15) // 16
+    nhfb = (mi_cols + 15) // 16
+
+    pre = [p.copy() for p in planes]
+    padded = []
+    for p_i, p in enumerate(pre):
+        pad = np.full((p.shape[0] + 4, p.shape[1] + 4), CDEF_VERY_LARGE,
+                      np.int32)
+        pad[2 : 2 + p.shape[0], 2 : 2 + p.shape[1]] = p
+        padded.append(pad)
+
+    for fbr in range(nvfb):
+        for fbc in range(nhfb):
+            sidx = int(unit_strength[fbr, fbc])
+            if sidx < 0:
+                continue
+            y_str = c.y_pri[sidx] * 4 + c.y_sec[sidx]
+            uv_str = (c.uv_pri[sidx] * 4 + c.uv_sec[sidx]) if nplanes > 1 else 0
+            lvl = [y_str // 4, uv_str // 4]
+            sec = [y_str % 4, uv_str % 4]
+            sec = [s + (s == 3) for s in sec]
+            if lvl[0] == 0 and sec[0] == 0 and lvl[1] == 0 and sec[1] == 0:
+                continue
+            # non-skip 8x8 blocks in this 64x64 unit
+            maxr = min(16, mi_rows - fbr * 16)
+            maxc = min(16, mi_cols - fbc * 16)
+            dlist = []
+            for r in range(0, maxr, 2):
+                for cc in range(0, maxc, 2):
+                    sk = mi_skip[fbr * 16 + r : fbr * 16 + r + 2,
+                                 fbc * 16 + cc : fbc * 16 + cc + 2]
+                    if not sk.all():
+                        dlist.append((r >> 1, cc >> 1))
+            if not dlist:
+                continue
+            dl = np.array(dlist, np.int32)
+
+            # luma directions (always computed from luma)
+            ly0 = fbr * 64
+            lx0 = fbc * 64
+            yblocks = np.stack([
+                pre[0][ly0 + 8 * by : ly0 + 8 * by + 8,
+                       lx0 + 8 * bx : lx0 + 8 * bx + 8]
+                for by, bx in dlist])
+            dirs, var = find_dir_blocks(yblocks, coeff_shift)
+
+            for plane in range(nplanes):
+                pt = 1 if plane else 0
+                if plane and lvl[1] == 0 and sec[1] == 0:
+                    continue
+                if plane == 0 and lvl[0] == 0 and sec[0] == 0:
+                    continue
+                sx = seq.subsampling_x if plane else 0
+                sy = seq.subsampling_y if plane else 0
+                bw = 8 >> sx
+                bh = 8 >> sy
+                pri_strength = lvl[pt] << coeff_shift
+                sec_strength = sec[pt] << coeff_shift
+                dmp = damping + coeff_shift - (1 if plane else 0)
+                p_dirs = dirs
+                if plane and sx != sy:
+                    conv = ([7, 0, 2, 4, 5, 6, 6, 6] if sx
+                            else [1, 2, 2, 2, 3, 4, 6, 0])
+                    p_dirs = np.array([conv[d] for d in dirs], np.int32)
+                if plane == 0:
+                    pri_t = np.array([_adjust_strength(pri_strength, v)
+                                      for v in var], np.int32)
+                else:
+                    pri_t = np.full(len(dlist), pri_strength, np.int32)
+                use_dirs = np.where(pri_strength != 0, p_dirs, 0)
+
+                pad = padded[plane]
+                py0 = (ly0 >> sy)
+                px0 = (lx0 >> sx)
+                ctx = np.stack([
+                    pad[py0 + bh * by : py0 + bh * by + bh + 4,
+                        px0 + bw * bx : px0 + bw * bx + bw + 4]
+                    for by, bx in dlist]).astype(np.int32)
+                out = filter_blocks(ctx, use_dirs, pri_t, sec_strength, dmp,
+                                    dmp, coeff_shift, bh, bw)
+                dst = planes[plane]
+                for i, (by, bx) in enumerate(dlist):
+                    dst[py0 + bh * by : py0 + bh * by + bh,
+                        px0 + bw * bx : px0 + bw * bx + bw] = out[i]
+
+
+def _adjust_strength(strength: int, var: int) -> int:
+    if not var:
+        return 0
+    i = min(int(var >> 6).bit_length() - 1, 12) if (var >> 6) else 0
+    return (strength * (4 + i) + 8) >> 4

@@ -5,7 +5,7 @@
  * symbol in our decoder (tests/tools debugging only).
  *
  * Build: gcc tools/dump_symbols.c -I$REF -I$DBGBUILD $DBGBUILD/libaom.a -lm -lpthread
- * Usage: dump_symbols in.y4m out.ivf out.syms [cpu_used] [base_q] [enable_cdef]
+ * Usage: dump_symbols in.y4m out.ivf out.syms [cpu_used] [base_q] [enable_cdef] [enable_lr]
  */
 #include <stdint.h>
 #include <stdio.h>
@@ -74,10 +74,10 @@ int main(int argc, char **argv) {
   } else {
     aom_codec_control(&codec, AOME_SET_CQ_LEVEL, base_q);
   }
-  if (argc > 6 && atoi(argv[6]) == 0) {
+  if (argc > 6 && atoi(argv[6]) == 0)
     aom_codec_control(&codec, AV1E_SET_ENABLE_CDEF, 0);
+  if (argc <= 7 || atoi(argv[7]) == 0)
     aom_codec_control(&codec, AV1E_SET_ENABLE_RESTORATION, 0);
-  }
 
   aom_image_t img;
   if (!aom_img_alloc(&img, AOM_IMG_FMT_I420, w, h, 1)) die("img");
