@@ -219,6 +219,14 @@ int main(int argc, char **argv) {
   D32("cospi_arr", av1_cospi_arr_data, 4, 64);
   D32("sinpi_arr", av1_sinpi_arr_data, 4, 5);
 
+  /* ---- self-guided restoration lookups (restoration.c:645,668) ---- */
+  {
+    extern const int32_t av1_x_by_xplus1[256];
+    extern const int32_t av1_one_by_x[25];
+    D32("x_by_xplus1", av1_x_by_xplus1, 256);
+    D32("one_by_x", av1_one_by_x, 25);
+  }
+
   /* ---- coefficient-coding tables (txb_common.c / entropy.c) ---- */
   {
     extern const int16_t av1_eob_group_start[12];
