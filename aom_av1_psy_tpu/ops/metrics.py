@@ -1,0 +1,140 @@
+"""Batched distortion/metric kernel zoo.
+
+TPU-native replacement for the ``aom_dsp`` SAD/variance/SSE/SATD RTCD
+families (aom_dsp_rtcd_defs.pl: ~103 sad/variance protos): instead of one
+function per block size per arch, a handful of batched reducers over
+``(..., h, w)`` arrays that jit and fuse. Works under numpy or jax.numpy.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _xp(x):
+    if isinstance(x, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+def sad(a, b):
+    """Sum of absolute differences over trailing 2 dims (aom_sad{W}x{H})."""
+    xp = _xp(a)
+    return xp.abs(a.astype(xp.int32) - b.astype(xp.int32)).sum((-1, -2))
+
+
+def sad_x4(src, refs):
+    """One source block vs N candidate refs (aom_sadWxHx4d analogue).
+    src: (..., h, w); refs: (..., N, h, w)."""
+    xp = _xp(src)
+    return xp.abs(refs.astype(xp.int32)
+                  - src[..., None, :, :].astype(xp.int32)).sum((-1, -2))
+
+
+def sse(a, b):
+    """Sum of squared error (aom_sse)."""
+    xp = _xp(a)
+    d = a.astype(xp.int64) - b.astype(xp.int64)
+    return (d * d).sum((-1, -2))
+
+
+def variance(src, ref):
+    """(sse, se) pair like aom_variance{W}x{H}: returns
+    sse - se^2/n (the variance proper) plus raw terms."""
+    xp = _xp(src)
+    d = src.astype(xp.int64) - ref.astype(xp.int64)
+    s = d.sum((-1, -2))
+    ss = (d * d).sum((-1, -2))
+    n = src.shape[-1] * src.shape[-2]
+    return ss - (s * s) // n, ss, s
+
+
+def block_error(coeff, dqcoeff, shift: int = 0):
+    """av1_block_error: SSE between tx coeffs and dequantized coeffs,
+    plus |ssz| of the source coeffs; >> 2*shift normalization."""
+    xp = _xp(coeff)
+    d = coeff.astype(xp.int64) - dqcoeff.astype(xp.int64)
+    err = (d * d).sum(-1) >> (2 * shift)
+    ssz = (coeff.astype(xp.int64) ** 2).sum(-1) >> (2 * shift)
+    return err, ssz
+
+
+def hadamard8x8(x):
+    """Batched 8x8 Hadamard transform (aom_hadamard_8x8 semantics:
+    row pass then column pass of length-8 WHT butterflies)."""
+    xp = _xp(x)
+
+    def wht8(v, axis):
+        # one stage structure matching aom_hadamard: b = a0±a1 pairs thrice
+        def pairs(t, stride):
+            idx0 = []
+            idx1 = []
+            for base in range(0, 8, stride * 2):
+                for k in range(stride):
+                    idx0.append(base + k)
+                    idx1.append(base + k + stride)
+            return idx0, idx1
+
+        out = v
+        for stride in (1, 2, 4):
+            i0, i1 = pairs(out, stride)
+            a = xp.take(out, xp.asarray(i0), axis=axis)
+            b = xp.take(out, xp.asarray(i1), axis=axis)
+            plus = a + b
+            minus = a - b
+            # interleave back in the i0/i1 positions
+            res = [None] * 8
+            for n, (p, q) in enumerate(zip(i0, i1)):
+                res[p] = xp.take(plus, xp.asarray([n]), axis=axis)
+                res[q] = xp.take(minus, xp.asarray([n]), axis=axis)
+            out = xp.concatenate(res, axis=axis)
+        return out
+
+    y = wht8(x.astype(xp.int32), -1)
+    return wht8(y, -2)
+
+
+def satd(x):
+    """Sum of absolute Hadamard-transformed differences (aom_satd)."""
+    xp = _xp(x)
+    return xp.abs(hadamard8x8(x)).sum((-1, -2))
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
+    if mse <= 1e-12:
+        return 100.0
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
+# SSIM per aom_dsp/ssim.c (8x8 windows on a 4px grid, integer moments)
+_CC1 = 26634
+_CC2 = 239708
+
+
+def ssim(img1: np.ndarray, img2: np.ndarray) -> float:
+    """aom_ssim2 for 8-bit planes (reference aom_dsp/ssim.c:101)."""
+    h, w = img1.shape
+    a = img1.astype(np.int64)
+    b = img2.astype(np.int64)
+    total = 0.0
+    count = 0
+    n = 64
+    c1 = (_CC1 * n * n) >> 12
+    c2 = (_CC2 * n * n) >> 12
+    # vectorized over all 8x8 windows at stride 4
+    ys = np.arange(0, h - 7, 4)
+    xs = np.arange(0, w - 7, 4)
+    from numpy.lib.stride_tricks import sliding_window_view
+    wa = sliding_window_view(a, (8, 8))[::4, ::4]
+    wb = sliding_window_view(b, (8, 8))[::4, ::4]
+    sum_s = wa.sum((-1, -2)).astype(np.float64)
+    sum_r = wb.sum((-1, -2)).astype(np.float64)
+    sum_sq_s = (wa * wa).sum((-1, -2)).astype(np.float64)
+    sum_sq_r = (wb * wb).sum((-1, -2)).astype(np.float64)
+    sum_sxr = (wa * wb).sum((-1, -2)).astype(np.float64)
+    ssim_n = (2 * sum_s * sum_r + c1) * (2 * n * sum_sxr - 2 * sum_s * sum_r + c2)
+    ssim_d = (sum_s ** 2 + sum_r ** 2 + c1) * \
+        (n * sum_sq_s - sum_s ** 2 + n * sum_sq_r - sum_r ** 2 + c2)
+    v = ssim_n / ssim_d
+    return float(v.mean())
