@@ -1,0 +1,128 @@
+"""ctypes wrappers over the native range coder — drop-in replacements for
+ec.coder.Encoder/Decoder. CDF arrays (numpy uint16 rows) are adapted in
+place by the native code, so entropy state stays shared with Python."""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native import get_lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(arr: np.ndarray):
+    return ctypes.c_void_p(arr.ctypes.data)
+
+
+class NativeEncoder:
+    def __init__(self) -> None:
+        self._lib = get_lib()
+        self._h = ctypes.c_void_p(self._lib.ec_enc_new())
+        self._allow = True
+
+    @property
+    def allow_update(self) -> bool:
+        return self._allow
+
+    @allow_update.setter
+    def allow_update(self, v: bool) -> None:
+        self._allow = bool(v)
+        self._lib.ec_enc_set_allow_update(self._h, int(v))
+
+    def encode_symbol(self, s, icdf, nsyms, allow_update=None):
+        if allow_update is None or allow_update == self._allow:
+            self._lib.ec_enc_symbol(self._h, int(s), _ptr(icdf), int(nsyms))
+        else:
+            self._lib.ec_enc_cdf(self._h, int(s), _ptr(icdf), int(nsyms))
+            if allow_update:
+                from .coder import update_cdf
+                update_cdf(icdf, int(s), int(nsyms))
+
+    def encode_cdf(self, s, icdf, nsyms):
+        icdf = np.ascontiguousarray(icdf, np.uint16)
+        self._lib.ec_enc_cdf(self._h, int(s), _ptr(icdf), int(nsyms))
+
+    def write_bit(self, bit):
+        self._lib.ec_enc_bit(self._h, int(bit))
+
+    def write_literal(self, data, bits):
+        self._lib.ec_enc_literal(self._h, int(data), int(bits))
+
+    def tell(self):
+        return int(self._lib.ec_enc_tell(self._h))
+
+    def done(self) -> bytes:
+        n = self._lib.ec_enc_done(self._h)
+        out = (ctypes.c_uint8 * n)()
+        self._lib.ec_enc_copy(self._h, out)
+        return bytes(out)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib:
+            self._lib.ec_enc_free(self._h)
+            self._h = None
+
+
+class NativeDecoder:
+    def __init__(self, data: bytes) -> None:
+        self._lib = get_lib()
+        self._data = bytes(data)  # keep alive
+        self._h = ctypes.c_void_p(
+            self._lib.ec_dec_new(self._data, len(self._data)))
+        self._allow = True
+
+    @property
+    def allow_update(self) -> bool:
+        return self._allow
+
+    @allow_update.setter
+    def allow_update(self, v: bool) -> None:
+        self._allow = bool(v)
+        self._lib.ec_dec_set_allow_update(self._h, int(v))
+
+    def decode_symbol(self, icdf, nsyms, allow_update=None):
+        if allow_update is None or allow_update == self._allow:
+            return int(self._lib.ec_dec_symbol(self._h, _ptr(icdf),
+                                               int(nsyms)))
+        ret = int(self._lib.ec_dec_cdf(self._h, _ptr(icdf), int(nsyms)))
+        if allow_update:
+            from .coder import update_cdf
+            update_cdf(icdf, ret, int(nsyms))
+        return ret
+
+    def decode_cdf(self, icdf, nsyms):
+        icdf = np.ascontiguousarray(icdf, np.uint16)
+        return int(self._lib.ec_dec_cdf(self._h, _ptr(icdf), int(nsyms)))
+
+    def read_bit(self):
+        return int(self._lib.ec_dec_bit(self._h))
+
+    def read_literal(self, bits):
+        return int(self._lib.ec_dec_literal(self._h, int(bits)))
+
+    def tell(self):
+        return int(self._lib.ec_dec_tell(self._h))
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib:
+            self._lib.ec_dec_free(self._h)
+            self._h = None
+
+
+def make_encoder():
+    """Best-available encoder (native if the toolchain built it)."""
+    if available():
+        return NativeEncoder()
+    from .coder import Encoder
+    return Encoder()
+
+
+def make_decoder(data: bytes):
+    if available():
+        return NativeDecoder(data)
+    from .coder import Decoder
+    return Decoder(data)

@@ -1,0 +1,275 @@
+// Native od_ec range coder — the serial hot path of the codec runtime.
+//
+// Same normative semantics as ec/coder.py (aom_dsp/entenc.c / entdec.c):
+// 64-bit low window encoder with carry propagation, 32-bit dif window
+// decoder, Q15 inverse-CDF convention, update_cdf adaptation. Exposed via a
+// plain C ABI for ctypes; CDF arrays are updated in place in caller memory
+// (numpy uint16 buffers), so the Python and native paths are interchangeable.
+//
+// Build: g++ -O2 -shared -fPIC ec.cpp -o libaomtpu_ec.so
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kCdfProbTop = 1 << 15;
+constexpr int kProbShift = 6;
+constexpr int kMinProb = 4;
+
+inline void update_cdf(uint16_t *cdf, int val, int nsymbs) {
+  const int count = cdf[nsymbs];
+  const int rate = 4 + (count >> 4) + (nsymbs > 3);
+  for (int i = 0; i < nsymbs - 1; ++i) {
+    if (i < val) {
+      cdf[i] += (kCdfProbTop - cdf[i]) >> rate;
+    } else {
+      cdf[i] -= cdf[i] >> rate;
+    }
+  }
+  cdf[nsymbs] += (count < 32);
+}
+
+struct Encoder {
+  std::vector<uint8_t> buf;
+  uint64_t low = 0;
+  unsigned rng = 0x8000;
+  int cnt = -9;
+  bool allow_update = true;
+
+  void carry(size_t idx) {
+    for (;;) {
+      const int s = buf[idx] + 1;
+      buf[idx] = static_cast<uint8_t>(s);
+      if (s < 256) return;
+      --idx;
+    }
+  }
+
+  void normalize(uint64_t low_v, unsigned rng_v) {
+    int d = 16;
+    for (unsigned r = rng_v; r; r >>= 1) --d;
+    int s = cnt + d;
+    if (s >= 40) {
+      int c = cnt;
+      const int nbr = (s >> 3) + 1;
+      c += 24 - (nbr << 3);
+      uint64_t output = low_v >> c;
+      low_v &= (uint64_t(1) << c) - 1;
+      const uint64_t mask = uint64_t(1) << (nbr << 3);
+      const bool has_carry = (output & mask) != 0;
+      output &= mask - 1;
+      const size_t pre = buf.size();
+      for (int i = nbr - 1; i >= 0; --i)
+        buf.push_back(static_cast<uint8_t>(output >> (8 * i)));
+      if (has_carry) carry(pre - 1);
+      s = c + d - 24;
+    }
+    low = low_v << d;
+    rng = rng_v << d;
+    cnt = s;
+  }
+
+  void encode_q15(unsigned fl, unsigned fh, int sym, int nsyms) {
+    uint64_t l = low;
+    unsigned r = rng;
+    const int n = nsyms - 1;
+    if (fl < kCdfProbTop) {
+      const unsigned u = ((r >> 8) * (fl >> kProbShift) >> (7 - kProbShift)) +
+                         kMinProb * (n - (sym - 1));
+      const unsigned v = ((r >> 8) * (fh >> kProbShift) >> (7 - kProbShift)) +
+                         kMinProb * (n - sym);
+      l += r - u;
+      r = u - v;
+    } else {
+      r -= ((r >> 8) * (fh >> kProbShift) >> (7 - kProbShift)) +
+           kMinProb * (n - sym);
+    }
+    normalize(l, r);
+  }
+
+  void encode_symbol(int sym, uint16_t *icdf, int nsyms) {
+    const unsigned fl = sym > 0 ? icdf[sym - 1] : kCdfProbTop;
+    encode_q15(fl, icdf[sym], sym, nsyms);
+    if (allow_update) update_cdf(icdf, sym, nsyms);
+  }
+
+  void encode_bool_q15(int val, unsigned f) {
+    uint64_t l = low;
+    unsigned r = rng;
+    const unsigned v =
+        ((r >> 8) * (f >> kProbShift) >> (7 - kProbShift)) + kMinProb;
+    if (val) {
+      l += r - v;
+      r = v;
+    } else {
+      r -= v;
+    }
+    normalize(l, r);
+  }
+
+  void write_bit(int bit) {
+    encode_bool_q15(bit, (0x7FFFFF - (128 << 15) + 128) >> 8);
+  }
+
+  void write_literal(unsigned data, int bits) {
+    for (int b = bits - 1; b >= 0; --b) write_bit((data >> b) & 1);
+  }
+
+  size_t done() {
+    uint64_t l = low;
+    int c = cnt;
+    int s = 10 + c;
+    const uint64_t m = 0x3FFF;
+    uint64_t e = ((l + m) & ~m) | (m + 1);
+    if (s > 0) {
+      uint64_t n = (uint64_t(1) << (c + 16)) - 1;
+      do {
+        const unsigned val = static_cast<unsigned>(e >> (c + 16)) & 0xFFFF;
+        buf.push_back(static_cast<uint8_t>(val & 0xFF));
+        if (val & 0x100) carry(buf.size() - 2);
+        e &= n;
+        s -= 8;
+        c -= 8;
+        n >>= 8;
+      } while (s > 0);
+    }
+    return buf.size();
+  }
+};
+
+struct Decoder {
+  const uint8_t *buf = nullptr;
+  size_t bptr = 0;
+  size_t end = 0;
+  int tell_offs = 10 - (32 - 8);
+  uint32_t dif = (1u << 31) - 1;
+  unsigned rng = 0x8000;
+  int cnt = -15;
+  bool allow_update = true;
+
+  void refill() {
+    int s = 32 - 9 - (cnt + 15);
+    while (s >= 0 && bptr < end) {
+      dif ^= static_cast<uint32_t>(buf[bptr]) << s;
+      cnt += 8;
+      ++bptr;
+      s -= 8;
+    }
+    if (bptr >= end) {
+      tell_offs += 0x4000 - cnt;
+      cnt = 0x4000;
+    }
+  }
+
+  int normalize(uint32_t dif_v, unsigned rng_v, int ret) {
+    int d = 16;
+    for (unsigned r = rng_v; r; r >>= 1) --d;
+    cnt -= d;
+    dif = ((dif_v + 1) << d) - 1;
+    rng = rng_v << d;
+    if (cnt < 0) refill();
+    return ret;
+  }
+
+  int decode_cdf(const uint16_t *icdf, int nsyms) {
+    uint32_t dif_v = dif;
+    unsigned r = rng;
+    const int n = nsyms - 1;
+    const unsigned c = dif_v >> 16;
+    unsigned v = r;
+    int ret = -1;
+    unsigned u;
+    do {
+      u = v;
+      ++ret;
+      v = ((r >> 8) * (unsigned(icdf[ret]) >> kProbShift) >> (7 - kProbShift)) +
+          kMinProb * (n - ret);
+    } while (c < v);
+    r = u - v;
+    dif_v -= v << 16;
+    return normalize(dif_v, r, ret);
+  }
+
+  int decode_symbol(uint16_t *icdf, int nsyms) {
+    const int ret = decode_cdf(icdf, nsyms);
+    if (allow_update) update_cdf(icdf, ret, nsyms);
+    return ret;
+  }
+
+  int decode_bool_q15(unsigned f) {
+    uint32_t dif_v = dif;
+    unsigned r = rng;
+    const unsigned v =
+        ((r >> 8) * (f >> kProbShift) >> (7 - kProbShift)) + kMinProb;
+    const uint32_t vw = v << 16;
+    int ret = 1;
+    unsigned r_new = v;
+    if (dif_v >= vw) {
+      r_new = r - v;
+      dif_v -= vw;
+      ret = 0;
+    }
+    return normalize(dif_v, r_new, ret);
+  }
+
+  int read_bit() {
+    return decode_bool_q15((0x7FFFFF - (128 << 15) + 128) >> 8);
+  }
+
+  unsigned read_literal(int bits) {
+    unsigned v = 0;
+    for (int b = bits - 1; b >= 0; --b) v |= unsigned(read_bit()) << b;
+    return v;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+Encoder *ec_enc_new() { return new Encoder(); }
+void ec_enc_free(Encoder *e) { delete e; }
+void ec_enc_set_allow_update(Encoder *e, int v) { e->allow_update = v != 0; }
+void ec_enc_symbol(Encoder *e, int sym, uint16_t *icdf, int nsyms) {
+  e->encode_symbol(sym, icdf, nsyms);
+}
+void ec_enc_cdf(Encoder *e, int sym, const uint16_t *icdf, int nsyms) {
+  const unsigned fl = sym > 0 ? icdf[sym - 1] : kCdfProbTop;
+  e->encode_q15(fl, icdf[sym], sym, nsyms);
+}
+void ec_enc_bit(Encoder *e, int bit) { e->write_bit(bit); }
+void ec_enc_literal(Encoder *e, unsigned v, int bits) {
+  e->write_literal(v, bits);
+}
+long ec_enc_done(Encoder *e) { return static_cast<long>(e->done()); }
+long ec_enc_size(Encoder *e) { return static_cast<long>(e->buf.size()); }
+void ec_enc_copy(Encoder *e, uint8_t *dst) {
+  std::memcpy(dst, e->buf.data(), e->buf.size());
+}
+long ec_enc_tell(Encoder *e) {
+  return e->cnt + 10 + static_cast<long>(e->buf.size()) * 8;
+}
+
+Decoder *ec_dec_new(const uint8_t *data, long size) {
+  Decoder *d = new Decoder();
+  d->buf = data;
+  d->end = static_cast<size_t>(size);
+  d->refill();
+  return d;
+}
+void ec_dec_free(Decoder *d) { delete d; }
+void ec_dec_set_allow_update(Decoder *d, int v) { d->allow_update = v != 0; }
+int ec_dec_symbol(Decoder *d, uint16_t *icdf, int nsyms) {
+  return d->decode_symbol(icdf, nsyms);
+}
+int ec_dec_cdf(Decoder *d, const uint16_t *icdf, int nsyms) {
+  return d->decode_cdf(icdf, nsyms);
+}
+int ec_dec_bit(Decoder *d) { return d->read_bit(); }
+unsigned ec_dec_literal(Decoder *d, int bits) { return d->read_literal(bits); }
+long ec_dec_tell(Decoder *d) {
+  return static_cast<long>(d->bptr) * 8 - d->cnt + d->tell_offs;
+}
+
+}  // extern "C"
