@@ -226,7 +226,8 @@ class FrameDecoder:
                     fc: FrameContext) -> None:
         t = self.fh.tiles
         self.fc = fc
-        self.dec = Decoder(data)
+        from ..ec.native_coder import make_decoder
+        self.dec = make_decoder(data)
         self.dec.allow_update = not self.fh.disable_cdf_update
         self.tile_mi_row_start = t.row_starts[tile_row] * self.sb_mi
         self.tile_mi_row_end = min(t.row_starts[tile_row + 1] * self.sb_mi,

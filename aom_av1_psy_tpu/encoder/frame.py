@@ -20,6 +20,7 @@ from ..bitstream.headers import (SequenceHeader, FrameHeader, TileInfo,
                                  write_frame_header)
 from ..bitstream.bitio import BitWriter, write_leb128
 from ..ec.coder import Encoder
+from ..ec.native_coder import make_encoder
 from ..ec.context import FrameContext
 from ..ec import coeffs as C
 from ..normative import tables
@@ -114,6 +115,14 @@ class FrameEncoder:
         fh.quant.base_q_idx = self.cfg.base_q_idx
         fh.tx_mode_select = False  # TX_MODE_LARGEST
         fh.tiles = TileInfo()
+        if not self.lossless:
+            # keyframe first-guess filter level (picklpf.c:247), no search yet
+            q = tables.ac_quant(self.cfg.base_q_idx)
+            guess = (q * 17563 - 421574 + (1 << 17)) >> 18
+            lvl = int(np.clip(guess, 0, 63))
+            fh.lf.filter_level = (lvl, lvl)
+            fh.lf.filter_level_u = lvl
+            fh.lf.filter_level_v = lvl
         return seq, fh
 
     # ------------------------------------------------------------------
@@ -122,7 +131,7 @@ class FrameEncoder:
         seq, fh = self.make_headers()
         self.seq, self.fh = seq, fh
         self.fc = FrameContext(self.cfg.base_q_idx)
-        self.enc = Encoder()
+        self.enc = make_encoder()
         self.enc.allow_update = not fh.disable_cdf_update
 
         ncols = (self.mi_cols + self.sb_mi - 1) // self.sb_mi * self.sb_mi
