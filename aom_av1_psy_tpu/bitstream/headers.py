@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 from .bitio import BitReader, BitWriter
+from ..ops.grain import FilmGrainParams
 
 PRIMARY_REF_NONE = 7
 SUPERRES_DENOM_BITS = 3
@@ -307,6 +310,7 @@ class FrameHeader:
     render_height: int = 0
     use_superres: bool = False
     superres_denom: int = 8
+    upscaled_width: int = 0  # == width unless use_superres
     allow_intrabc: bool = False
     refresh_frame_flags: int = 0xFF
     allow_high_precision_mv: bool = False
@@ -330,6 +334,7 @@ class FrameHeader:
     lr_uv_shift: int = 0
     tx_mode_select: bool = False
     reduced_tx_set: bool = False
+    film_grain: FilmGrainParams = None
 
     @property
     def coded_lossless(self) -> bool:
@@ -495,16 +500,21 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
     else:
         fh.width = seq.max_frame_width
         fh.height = seq.max_frame_height
+    fh.upscaled_width = fh.width
     if seq.enable_superres:
+        # superres_params() (spec 5.9.8): coded width is the downscale of
+        # the (already read) upscaled width by denom/8
         fh.use_superres = bool(r.f(1))
         if fh.use_superres:
-            raise NotImplementedError("superres decode")
+            fh.superres_denom = r.f(SUPERRES_DENOM_BITS) + SUPERRES_DENOM_MIN
+            fh.width = (fh.upscaled_width * SUPERRES_NUM
+                        + fh.superres_denom // 2) // fh.superres_denom
     # render_size()
     if r.f(1):
         fh.render_width = r.f(16) + 1
         fh.render_height = r.f(16) + 1
     else:
-        fh.render_width, fh.render_height = fh.width, fh.height
+        fh.render_width, fh.render_height = fh.upscaled_width, fh.height
     if fh.allow_screen_content_tools and not fh.use_superres:
         fh.allow_intrabc = bool(r.f(1))
         if fh.allow_intrabc:
@@ -622,8 +632,134 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
         fh.tx_mode_select = bool(r.f(1))
     # frame_reference_mode / skip_mode / warped motion: intra -> none
     fh.reduced_tx_set = bool(r.f(1))
-    # global motion / film grain: intra, not present
+    # global motion: intra, not present
+    if seq.film_grain_params_present and (fh.show_frame or fh.showable_frame):
+        fh.film_grain = read_film_grain_params(r, seq, fh)
     return fh
+
+
+def read_film_grain_params(r: BitReader, seq: SequenceHeader,
+                           fh: FrameHeader) -> FilmGrainParams:
+    """film_grain_params() (spec 5.9.30; av1_read_film_grain_params
+    decodeframe.c:3870). Intra frames always update parameters."""
+    p = FilmGrainParams(bit_depth=seq.bit_depth)
+    p.apply_grain = r.f(1)
+    if not p.apply_grain:
+        return p
+    p.random_seed = r.f(16)
+    if fh.frame_type == 1:  # INTER
+        p.update_parameters = r.f(1)
+    else:
+        p.update_parameters = 1
+    if not p.update_parameters:
+        raise NotImplementedError("film grain params ref inheritance")
+    p.num_y_points = r.f(4)
+    p.scaling_points_y = np.zeros((14, 2), np.int64)
+    for i in range(p.num_y_points):
+        p.scaling_points_y[i, 0] = r.f(8)
+        p.scaling_points_y[i, 1] = r.f(8)
+    p.chroma_scaling_from_luma = 0 if seq.monochrome else r.f(1)
+    p.scaling_points_cb = np.zeros((10, 2), np.int64)
+    p.scaling_points_cr = np.zeros((10, 2), np.int64)
+    if (seq.monochrome or p.chroma_scaling_from_luma
+            or (seq.subsampling_x == 1 and seq.subsampling_y == 1
+                and p.num_y_points == 0)):
+        p.num_cb_points = p.num_cr_points = 0
+    else:
+        p.num_cb_points = r.f(4)
+        for i in range(p.num_cb_points):
+            p.scaling_points_cb[i, 0] = r.f(8)
+            p.scaling_points_cb[i, 1] = r.f(8)
+        p.num_cr_points = r.f(4)
+        for i in range(p.num_cr_points):
+            p.scaling_points_cr[i, 0] = r.f(8)
+            p.scaling_points_cr[i, 1] = r.f(8)
+    p.scaling_shift = r.f(2) + 8
+    p.ar_coeff_lag = r.f(2)
+    num_pos_luma = 2 * p.ar_coeff_lag * (p.ar_coeff_lag + 1)
+    num_pos_chroma = num_pos_luma + (1 if p.num_y_points > 0 else 0)
+    p.ar_coeffs_y = np.zeros(24, np.int64)
+    p.ar_coeffs_cb = np.zeros(25, np.int64)
+    p.ar_coeffs_cr = np.zeros(25, np.int64)
+    if p.num_y_points:
+        for i in range(num_pos_luma):
+            p.ar_coeffs_y[i] = r.f(8) - 128
+    if p.num_cb_points or p.chroma_scaling_from_luma:
+        for i in range(num_pos_chroma):
+            p.ar_coeffs_cb[i] = r.f(8) - 128
+    if p.num_cr_points or p.chroma_scaling_from_luma:
+        for i in range(num_pos_chroma):
+            p.ar_coeffs_cr[i] = r.f(8) - 128
+    p.ar_coeff_shift = r.f(2) + 6
+    p.grain_scale_shift = r.f(2)
+    if p.num_cb_points:
+        p.cb_mult = r.f(8)
+        p.cb_luma_mult = r.f(8)
+        p.cb_offset = r.f(9)
+    if p.num_cr_points:
+        p.cr_mult = r.f(8)
+        p.cr_luma_mult = r.f(8)
+        p.cr_offset = r.f(9)
+    p.overlap_flag = r.f(1)
+    p.clip_to_restricted_range = r.f(1)
+    return p
+
+
+def write_film_grain_params(w: BitWriter, seq: SequenceHeader,
+                            fh: FrameHeader, p: FilmGrainParams) -> None:
+    """Mirror of read_film_grain_params (av1/encoder/bitstream.c
+    write_film_grain_params)."""
+    w.f(int(p.apply_grain), 1)
+    if not p.apply_grain:
+        return
+    w.f(p.random_seed, 16)
+    if fh.frame_type == 1:
+        w.f(int(p.update_parameters), 1)
+    assert p.update_parameters or fh.frame_type == 1
+    if not p.update_parameters:
+        raise NotImplementedError("film grain params ref inheritance")
+    w.f(p.num_y_points, 4)
+    for i in range(p.num_y_points):
+        w.f(int(p.scaling_points_y[i, 0]), 8)
+        w.f(int(p.scaling_points_y[i, 1]), 8)
+    if not seq.monochrome:
+        w.f(int(p.chroma_scaling_from_luma), 1)
+    if not (seq.monochrome or p.chroma_scaling_from_luma
+            or (seq.subsampling_x == 1 and seq.subsampling_y == 1
+                and p.num_y_points == 0)):
+        w.f(p.num_cb_points, 4)
+        for i in range(p.num_cb_points):
+            w.f(int(p.scaling_points_cb[i, 0]), 8)
+            w.f(int(p.scaling_points_cb[i, 1]), 8)
+        w.f(p.num_cr_points, 4)
+        for i in range(p.num_cr_points):
+            w.f(int(p.scaling_points_cr[i, 0]), 8)
+            w.f(int(p.scaling_points_cr[i, 1]), 8)
+    w.f(p.scaling_shift - 8, 2)
+    w.f(p.ar_coeff_lag, 2)
+    num_pos_luma = 2 * p.ar_coeff_lag * (p.ar_coeff_lag + 1)
+    num_pos_chroma = num_pos_luma + (1 if p.num_y_points > 0 else 0)
+    if p.num_y_points:
+        for i in range(num_pos_luma):
+            w.f(int(p.ar_coeffs_y[i]) + 128, 8)
+    if p.num_cb_points or p.chroma_scaling_from_luma:
+        for i in range(num_pos_chroma):
+            w.f(int(p.ar_coeffs_cb[i]) + 128, 8)
+    if p.num_cr_points or p.chroma_scaling_from_luma:
+        for i in range(num_pos_chroma):
+            w.f(int(p.ar_coeffs_cr[i]) + 128, 8)
+    w.f(p.ar_coeff_shift - 6, 2)
+    w.f(p.grain_scale_shift, 2)
+    if p.num_cb_points:
+        w.f(p.cb_mult, 8)
+        w.f(p.cb_luma_mult, 8)
+        w.f(p.cb_offset, 9)
+    if p.num_cr_points:
+        w.f(p.cr_mult, 8)
+        w.f(p.cr_luma_mult, 8)
+        w.f(p.cr_offset, 9)
+    w.f(int(p.overlap_flag), 1)
+    w.f(int(p.clip_to_restricted_range), 1)
 
 
 def write_frame_header(w: BitWriter, seq: SequenceHeader,
@@ -652,10 +788,12 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader,
         for _ in range(8):
             w.f(0, seq.order_hint_bits)
     if fh.frame_size_override:
-        w.f(fh.width - 1, seq.frame_width_bits)
+        w.f((fh.upscaled_width or fh.width) - 1, seq.frame_width_bits)
         w.f(fh.height - 1, seq.frame_height_bits)
     if seq.enable_superres:
-        w.f(0, 1)
+        w.f(int(fh.use_superres), 1)
+        if fh.use_superres:
+            w.f(fh.superres_denom - SUPERRES_DENOM_MIN, SUPERRES_DENOM_BITS)
     w.f(0, 1)  # render_and_frame_size_different
     if fh.allow_screen_content_tools and not fh.use_superres:
         w.f(int(fh.allow_intrabc), 1)
@@ -731,3 +869,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader,
     if not coded_lossless:
         w.f(int(fh.tx_mode_select), 1)
     w.f(int(fh.reduced_tx_set), 1)
+    if seq.film_grain_params_present and (fh.show_frame or fh.showable_frame):
+        write_film_grain_params(w, seq, fh,
+                                fh.film_grain or FilmGrainParams(
+                                    apply_grain=0, bit_depth=seq.bit_depth))

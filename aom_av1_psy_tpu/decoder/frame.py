@@ -159,11 +159,15 @@ class FrameDecoder:
         ss = [(0, 0), (seq.subsampling_x, seq.subsampling_y),
               (seq.subsampling_x, seq.subsampling_y)][: self.nplanes]
         self.ss = ss
-        # plane buffers with enough alignment padding to cover partial SBs
+        # plane buffers with enough padding that FULL transform blocks can
+        # be written even when they overhang the mi area (the reference
+        # writes whole tx blocks into its bordered buffers and CFL reads
+        # those pixels back — cfl_store reads tx_size_wide regardless of
+        # the frame crop, decodeframe.c inverse_transform_block)
         self.planes = []
         for (sx, sy) in ss:
-            pw = ((self.mi_cols * 4) >> sx)
-            ph = ((self.mi_rows * 4) >> sy)
+            pw = ((self.mi_cols * 4) >> sx) + 64
+            ph = ((self.mi_rows * 4) >> sy) + 64
             self.planes.append(np.zeros((ph, pw), np.int32))
         # mode-info grids
         shape = (self.mi_rows, self.mi_cols)
@@ -197,6 +201,16 @@ class FrameDecoder:
                                            (self.mi_cols + 15) // 16), -1,
                                           np.int32)
         self.cdef_transmitted = [False] * 4
+        # per-mi CDEF strength grid with C's mbmi-sharing semantics: the
+        # value read for a CDEF unit is stored on the BLOCK covering the
+        # unit's top-left mi (decodemv.c read_cdef writes into
+        # mi_grid[mi_row & ~15, mi_col & ~15]'s mbmi, which all mi of that
+        # block share); origins track each mi's block for the propagation
+        self.mi_cdef = np.full(shape, -1, np.int32)
+        self.mi_borigin_r = np.zeros(shape, np.int32)
+        self.mi_borigin_c = np.zeros(shape, np.int32)
+        self.mi_bh4 = np.ones(shape, np.int32)
+        self.mi_bw4 = np.ones(shape, np.int32)
         self.has_tr_tables = self._load_avail_tables("tr")
         self.has_bl_tables = self._load_avail_tables("bl")
 
@@ -406,7 +420,10 @@ class FrameDecoder:
         skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
 
         # read_cdef (decodemv.c): per-64x64 strength literal at the first
-        # non-skip block of each CDEF unit
+        # non-skip block of each CDEF unit; the value is stored on the
+        # BLOCK covering the unit's top-left mi (mbmi sharing), so with
+        # 128x128 superblocks one large block can carry several units'
+        # effective strength
         if not self.lossless and not self.fh.allow_intrabc:
             if (mi_row & (self.sb_mi - 1)) == 0 and \
                     (mi_col & (self.sb_mi - 1)) == 0:
@@ -417,8 +434,19 @@ class FrameDecoder:
                 index = 0
             if not self.cdef_transmitted[index] and not skip:
                 bits = self.fh.cdef.bits
-                self.cdef_unit_strength[mi_row >> 4, mi_col >> 4] = \
-                    self.dec.read_literal(bits)
+                v = self.dec.read_literal(bits)
+                tr, tc = mi_row & ~15, mi_col & ~15
+                if (mi_row <= tr < mi_row + bh4
+                        and mi_col <= tc < mi_col + bw4):
+                    br, bc, h4, w4 = mi_row, mi_col, bh4, bw4
+                else:  # target mi belongs to an earlier-decoded block
+                    br = int(self.mi_borigin_r[tr, tc])
+                    bc = int(self.mi_borigin_c[tr, tc])
+                    h4 = int(self.mi_bh4[tr, tc])
+                    w4 = int(self.mi_bw4[tr, tc])
+                r1 = min(br + h4, self.mi_rows)
+                c1 = min(bc + w4, self.mi_cols)
+                self.mi_cdef[br:r1, bc:c1] = v
                 self.cdef_transmitted[index] = True
 
         above_mode = (int(self.mi_mode[above_mi]) if up else
@@ -506,6 +534,10 @@ class FrameDecoder:
         self.mi_tx_size[mi_row:r1, mi_col:c1] = tx_size
         self.mi_filter_intra[mi_row:r1, mi_col:c1] = filter_intra_mode
         self.mi_valid[mi_row:r1, mi_col:c1] = 1
+        self.mi_borigin_r[mi_row:r1, mi_col:c1] = mi_row
+        self.mi_borigin_c[mi_row:r1, mi_col:c1] = mi_col
+        self.mi_bh4[mi_row:r1, mi_col:c1] = bh4
+        self.mi_bw4[mi_row:r1, mi_col:c1] = bw4
 
         # intra-edge filter type: 1 when a neighbor uses a SMOOTH mode
         # (reconintra.c get_intra_edge_filter_type)
@@ -984,9 +1016,23 @@ class FrameDecoder:
         if self.seq.enable_cdef and not self.lossless \
                 and not self.fh.allow_intrabc:
             from ..ops import cdef as cdef_ops
+            # per-fb strength = the covering block's transmitted value at
+            # each 64x64 unit's top-left mi (cdef_fb_col reads that mbmi)
+            unit_strength = self.mi_cdef[::16, ::16]
             cdef_ops.cdef_frame(self.planes, self.mi_skip,
-                                self.cdef_unit_strength, self.fh, self.seq,
+                                unit_strength, self.fh, self.seq,
                                 self.mi_rows, self.mi_cols)
+        if self.fh.use_superres:
+            # superres_post_decode: upscale CDEF output AND the saved
+            # deblock boundary source before LR (decodeframe.c:5305;
+            # boundary lines are upscaled rows of the deblocked frame,
+            # restoration.c save_deblock_boundary_lines)
+            from ..ops import resize as RZ
+            self.planes = RZ.upscale_normative_frame(self.planes, self.fh,
+                                                     self.seq)
+            self.deblocked = RZ.upscale_normative_frame(self.deblocked,
+                                                        self.fh, self.seq)
+            self.w = self.fh.upscaled_width
         _lr_apply(self)
 
     # ------------------------------------------------------------------
@@ -1024,7 +1070,8 @@ def _lr_init(self):
         usize = (64 << self.fh.lr_unit_shift)
         if p:
             usize >>= self.fh.lr_uv_shift
-        w = (self.w + sx) >> sx
+        # LR units live in the (superres-)upscaled frame geometry
+        w = (self.fh.upscaled_width + sx) >> sx
         h = (self.h + sy) >> sy
         hunits = max((w + (usize >> 1)) // usize, 1)
         vunits = max((h + (usize >> 1)) // usize, 1)
@@ -1117,12 +1164,20 @@ def _lr_read_for_sb(self, mi_row, mi_col):
         size = lp["usize"]
         mi_size_x = 4 >> sx
         mi_size_y = 4 >> sy
+        # With superres the SB's mi position maps to upscaled pixels:
+        # u = D * MI_SIZE * m / 8 (av1_loop_restoration_corners_in_sb)
+        if self.fh.use_superres:
+            mi_to_num_x = mi_size_x * self.fh.superres_denom
+            denom_x = size * 8
+        else:
+            mi_to_num_x = mi_size_x
+            denom_x = size
         mi_rel_row0, mi_rel_col0 = mi_row, mi_col
         mi_rel_row1 = mi_row + self.sb_mi
         mi_rel_col1 = mi_col + self.sb_mi
-        rcol0 = (mi_rel_col0 * mi_size_x + size - 1) // size
+        rcol0 = (mi_rel_col0 * mi_to_num_x + denom_x - 1) // denom_x
         rrow0 = (mi_rel_row0 * mi_size_y + size - 1) // size
-        rcol1 = min((mi_rel_col1 * mi_size_x + size - 1) // size,
+        rcol1 = min((mi_rel_col1 * mi_to_num_x + denom_x - 1) // denom_x,
                     lp["hunits"])
         rrow1 = min((mi_rel_row1 * mi_size_y + size - 1) // size,
                     lp["vunits"])

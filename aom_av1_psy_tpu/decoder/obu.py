@@ -5,6 +5,8 @@ FrameDecoder, returns decoded frames.
 """
 from __future__ import annotations
 
+import numpy as np
+
 from ..bitstream.bitio import BitReader, read_leb128
 from ..bitstream.headers import (SequenceHeader, FrameHeader,
                                  read_frame_header)
@@ -125,7 +127,27 @@ class Av1Decoder:
             self.tiles_parsed += 1
         if self.tiles_parsed == t.tile_cols * t.tile_rows:
             self.fdec.apply_loop_filter()
-            frames.append(self.fdec.output_frame())
+            frames.append(self._finish_frame(self.fdec.output_frame()))
+
+    def _finish_frame(self, frame):
+        """Post-decode grain application (av1_dx_iface.c:465 grain apply;
+        output only — reference buffers stay grain-free)."""
+        fg = getattr(self.fh, "film_grain", None)
+        if fg is None or not fg.apply_grain:
+            return frame
+        from ..ops.grain import apply_film_grain
+        from ..utils.frame import Frame
+        y, u, v = frame.y, frame.u, frame.v
+        h, w = y.shape
+        eh, ew = (h + 1) & ~1, (w + 1) & ~1
+        if (eh, ew) != (h, w):  # extend_even (grain_synthesis.c:884)
+            y = np.pad(y, ((0, eh - h), (0, ew - w)), mode="edge")
+        mc_identity = (self.seq.color_description_present
+                       and self.seq.matrix_coefficients == 0)
+        oy, ou, ov = apply_film_grain(
+            fg, y, u, v, ss_x=self.seq.subsampling_x,
+            ss_y=self.seq.subsampling_y, mc_identity=mc_identity)
+        return Frame(oy[:h, :w], ou, ov)
 
 
 def decode_ivf(path: str) -> list:

@@ -113,16 +113,21 @@ class NativeDecoder:
             self._h = None
 
 
+def _force_python() -> bool:
+    import os
+    return bool(os.environ.get("AOMTPU_NO_NATIVE"))
+
+
 def make_encoder():
     """Best-available encoder (native if the toolchain built it)."""
-    if available():
+    if available() and not _force_python():
         return NativeEncoder()
     from .coder import Encoder
     return Encoder()
 
 
 def make_decoder(data: bytes):
-    if available():
+    if available() and not _force_python():
         return NativeDecoder(data)
     from .coder import Decoder
     return Decoder(data)

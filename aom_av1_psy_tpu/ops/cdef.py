@@ -146,12 +146,20 @@ def cdef_frame(planes, mi_skip, unit_strength, fh, seq, mi_rows, mi_cols):
     nvfb = (mi_rows + 15) // 16
     nhfb = (mi_cols + 15) // 16
 
-    pre = [p.copy() for p in planes]
+    # context is the mi-aligned recon area; CDEF_VERY_LARGE strictly beyond
+    # it (cdef_prepare_fb fill_rect at frame boundaries) — plane buffers
+    # may be larger than the mi area, so crop first
+    pre = []
     padded = []
-    for p_i, p in enumerate(pre):
-        pad = np.full((p.shape[0] + 4, p.shape[1] + 4), CDEF_VERY_LARGE,
-                      np.int32)
-        pad[2 : 2 + p.shape[0], 2 : 2 + p.shape[1]] = p
+    for p_i, p in enumerate(planes):
+        sx = seq.subsampling_x if p_i else 0
+        sy = seq.subsampling_y if p_i else 0
+        mh = (mi_rows * 4) >> sy
+        mw = (mi_cols * 4) >> sx
+        cp = np.array(p[:mh, :mw], np.int32)
+        pre.append(cp)
+        pad = np.full((mh + 4, mw + 4), CDEF_VERY_LARGE, np.int32)
+        pad[2 : 2 + mh, 2 : 2 + mw] = cp
         padded.append(pad)
 
     for fbr in range(nvfb):

@@ -208,15 +208,45 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
 
     buf_h, buf_w = buf.shape
 
+    # C evaluates edges by WALKING each line in steps of the tx size at the
+    # current position (av1_filter_block_plane_vert/horz: advance_units =
+    # tx_size_wide_unit[ts]).  When a chroma tx origin is misaligned with
+    # its own size (sub-sampled origin of an odd-mi luma block), the walk
+    # skips real tx boundaries — those edges are normatively NOT filtered.
+    # Only walk-visited positions whose coord is size-aligned get filtered.
+    def _walk_visited(sizes_u, chunk):
+        """sizes_u: (lines, n) tx size in 4px units along the walk axis.
+        The walk restarts every `chunk` groups — C calls the per-plane
+        filter once per MAX_MIB_SIZE=32-MI block (thread_common.c:267),
+        so a desynced walk resets at each 128-px (luma) chunk."""
+        lines, n = sizes_u.shape
+        vis = np.zeros((lines, n), bool)
+        for r in range(lines):
+            row = sizes_u[r]
+            for c0 in range(0, n, chunk):
+                x = c0
+                lim = min(c0 + chunk, n)
+                while x < lim:
+                    vis[r, x] = True
+                    x += max(int(row[x]), 1)
+        return vis
+
+    chunk_x = (128 >> sx) // 4
+    chunk_y = (128 >> sy) // 4
+    visited_v = _walk_visited(txw // 4, chunk_x)        # per row walk
+    visited_h = _walk_visited((txh // 4).T, chunk_y).T  # per-column walk
+
     def do_edge(direction, b, r0, r1):
         """Filter the boundary at 4*b for perpendicular lines [r0*4, r1*4)."""
         coord = b * 4
         if direction == 0:
-            tu_edge = (coord % np.maximum(txw[r0:r1, b], 1)) == 0
+            tu_edge = ((coord % np.maximum(txw[r0:r1, b], 1)) == 0) \
+                & visited_v[r0:r1, b]
             cur_u = txw[r0:r1, b] // 4
             pv_u = txw[r0:r1, b - 1] // 4
         else:
-            tu_edge = (coord % np.maximum(txh[b, r0:r1], 1)) == 0
+            tu_edge = ((coord % np.maximum(txh[b, r0:r1], 1)) == 0) \
+                & visited_h[b, r0:r1]
             cur_u = txh[b, r0:r1] // 4
             pv_u = txh[b - 1, r0:r1] // 4
         if not tu_edge.any():

@@ -67,6 +67,14 @@ int main(int argc, char **argv) {
   cfg.kf_min_dist = 0;
   cfg.kf_max_dist = 1;
   cfg.rc_end_usage = AOM_Q;
+  /* argv[8]: superres denominator (9..16) -> fixed superres mode;
+     argv[9] (optional): kf denominator (defaults to argv[8]) */
+  if (argc > 8 && atoi(argv[8]) > 8) {
+    cfg.rc_superres_mode = AOM_SUPERRES_FIXED;
+    cfg.rc_superres_denominator = atoi(argv[8]);
+    cfg.rc_superres_kf_denominator =
+        argc > 9 ? atoi(argv[9]) : atoi(argv[8]);
+  }
   if (aom_codec_enc_init(&codec, iface, &cfg, 0)) die("init");
   aom_codec_control(&codec, AOME_SET_CPUUSED, cpu_used);
   if (base_q == 0) {
@@ -78,7 +86,6 @@ int main(int argc, char **argv) {
     aom_codec_control(&codec, AV1E_SET_ENABLE_CDEF, 0);
   if (argc <= 7 || atoi(argv[7]) == 0)
     aom_codec_control(&codec, AV1E_SET_ENABLE_RESTORATION, 0);
-
   aom_image_t img;
   if (!aom_img_alloc(&img, AOM_IMG_FMT_I420, w, h, 1)) die("img");
 

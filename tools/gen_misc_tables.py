@@ -33,6 +33,21 @@ TABLES = [
      (16, 8), np.int32),
     ("av1/common/filter.h", "av1_sub_pel_filters_4smooth",
      "subpel_filters_4smooth", (16, 8), np.int32),
+    # resize / superres kernels (av1/common/resize.c)
+    ("av1/common/resize.c", "av1_resize_filter_normative",
+     "resize_filter_normative", (64, 8), np.int32),
+    ("av1/common/resize.c", "filteredinterp_filters500",
+     "resize_filters500", (64, 8), np.int32),
+    ("av1/common/resize.c", "filteredinterp_filters625",
+     "resize_filters625", (64, 8), np.int32),
+    ("av1/common/resize.c", "filteredinterp_filters750",
+     "resize_filters750", (64, 8), np.int32),
+    ("av1/common/resize.c", "filteredinterp_filters875",
+     "resize_filters875", (64, 8), np.int32),
+    ("av1/common/resize.c", "av1_down2_symeven_half_filter",
+     "down2_symeven_half", (4,), np.int32),
+    ("av1/common/resize.c", "av1_down2_symodd_half_filter",
+     "down2_symodd_half", (4,), np.int32),
 ]
 
 
@@ -54,6 +69,7 @@ def extract_array(src: str, name: str) -> np.ndarray:
     body = src[i : j + 1]
     body = re.sub(r"//.*", "", body)
     body = re.sub(r"/\*.*?\*/", "", body, flags=re.S)
+    body = re.sub(r"#.*", "", body)  # preprocessor lines inside initializers
     vals = [int(t) for t in re.findall(r"-?\d+", body)]
     return np.array(vals)
 
