@@ -1,0 +1,98 @@
+"""Warped motion prediction — affine warp with separable 8-tap shear
+filters (``av1/common/warped_motion.c``: av1_warp_affine_c), vectorized
+over 8x8 warp tiles as batched gathers + tensor contractions.
+
+The kernel processes the prediction area in 8x8 tiles; per tile the
+affine model positions a 15x8 intermediate (horizontal shear) which the
+vertical shear reduces to 8x8 (the standard AV1 two-pass formulation).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+WARPEDMODEL_PREC_BITS = 16
+WARPEDPIXEL_PREC_BITS = 6
+WARPEDPIXEL_PREC_SHIFTS = 1 << WARPEDPIXEL_PREC_BITS
+WARPEDDIFF_PREC_BITS = WARPEDMODEL_PREC_BITS - WARPEDPIXEL_PREC_BITS
+WARP_PARAM_REDUCE_BITS = 6
+FILTER_BITS = 7
+
+
+@functools.cache
+def _filters() -> np.ndarray:
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "normative", "data", "misc_tables.npz")
+    return np.load(path)["warped_filter"].astype(np.int64)
+
+
+def _round2(v, bits):
+    if bits == 0:
+        return v
+    return (v + (1 << (bits - 1))) >> bits
+
+
+def warp_affine(mat, ref: np.ndarray, p_col: int, p_row: int, p_width: int,
+                p_height: int, ss_x: int, ss_y: int, alpha: int, beta: int,
+                gamma: int, delta: int, round0: int = 3,
+                bd: int = 8) -> np.ndarray:
+    """av1_warp_affine_c single-ref path. ref: (height, width) plane.
+    Returns (p_height, p_width) predicted pixels."""
+    height, width = ref.shape
+    filters = _filters()
+    reduce_h = round0
+    reduce_v = 2 * FILTER_BITS - reduce_h
+    offset_h = 1 << (bd + FILTER_BITS - 1)
+    offset_v = 1 << (bd + 2 * FILTER_BITS - reduce_h)
+    out = np.zeros((p_height, p_width), np.int64)
+    refi = ref.astype(np.int64)
+
+    ks = np.arange(-7, 8)              # 15 intermediate rows
+    ls = np.arange(-4, 4)              # 8 columns
+    ms = np.arange(8)                  # taps
+
+    for i in range(p_row, p_row + p_height, 8):
+        for j in range(p_col, p_col + p_width, 8):
+            src_x = (j + 4) << ss_x
+            src_y = (i + 4) << ss_y
+            dst_x = mat[2] * src_x + mat[3] * src_y + mat[0]
+            dst_y = mat[4] * src_x + mat[5] * src_y + mat[1]
+            x4 = dst_x >> ss_x
+            y4 = dst_y >> ss_y
+            ix4 = int(x4 >> WARPEDMODEL_PREC_BITS)
+            sx4 = int(x4 & ((1 << WARPEDMODEL_PREC_BITS) - 1))
+            iy4 = int(y4 >> WARPEDMODEL_PREC_BITS)
+            sy4 = int(y4 & ((1 << WARPEDMODEL_PREC_BITS) - 1))
+            sx4 += alpha * (-4) + beta * (-4)
+            sy4 += gamma * (-4) + delta * (-4)
+            sx4 &= ~((1 << WARP_PARAM_REDUCE_BITS) - 1)
+            sy4 &= ~((1 << WARP_PARAM_REDUCE_BITS) - 1)
+
+            # horizontal pass: (15, 8) intermediate
+            iy = np.clip(iy4 + ks, 0, height - 1)          # (15,)
+            sx = sx4 + beta * (ks + 4)[:, None] + alpha * (ls + 4)[None, :]
+            offs = _round2(sx, WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
+            taps_h = filters[offs]                          # (15, 8, 8)
+            sample_x = np.clip(ix4 + ls[None, :, None] - 3 + ms[None, None, :],
+                               0, width - 1)                # (1, 8, 8)
+            px = refi[iy[:, None, None], sample_x]          # (15, 8, 8)
+            tmp = _round2((px * taps_h).sum(-1) + offset_h, reduce_h)
+
+            # vertical pass: (8, 8)
+            kv = np.arange(-4, min(4, p_row + p_height - i - 4))
+            lv = np.arange(-4, min(4, p_col + p_width - j - 4))
+            sy = sy4 + delta * (kv + 4)[:, None] + gamma * (lv + 4)[None, :]
+            offs_v = _round2(sy, WARPEDDIFF_PREC_BITS) \
+                + WARPEDPIXEL_PREC_SHIFTS
+            taps_v = filters[offs_v]                        # (kv, lv, 8)
+            rows = (kv[:, None, None] + ms[None, None, :] + 4)  # (kv,1,8)
+            cols = lv[None, :, None] + 4                        # (1,lv,1)
+            gathered = tmp[rows, cols]                      # (kv, lv, 8)
+            s = _round2((gathered * taps_v).sum(-1) + offset_v, reduce_v)
+            s = s - (1 << (bd - 1)) - (1 << bd)
+            s = np.clip(s, 0, (1 << bd) - 1)
+            out[i - p_row + kv[0] + 4 : i - p_row + kv[-1] + 5,
+                j - p_col + lv[0] + 4 : j - p_col + lv[-1] + 5] = s
+    return out

@@ -48,6 +48,9 @@ TABLES = [
      "down2_symeven_half", (4,), np.int32),
     ("av1/common/resize.c", "av1_down2_symodd_half_filter",
      "down2_symodd_half", (4,), np.int32),
+    # warped motion subpel filters (av1/common/warped_motion.c)
+    ("av1/common/warped_motion.c", "av1_warped_filter",
+     "warped_filter", (193, 8), np.int32),
 ]
 
 
@@ -70,6 +73,7 @@ def extract_array(src: str, name: str) -> np.ndarray:
     body = re.sub(r"//.*", "", body)
     body = re.sub(r"/\*.*?\*/", "", body, flags=re.S)
     body = re.sub(r"#.*", "", body)  # preprocessor lines inside initializers
+    body = re.sub(r"-\s+", "-", body)  # "- 1" style negatives (warp table)
     vals = [int(t) for t in re.findall(r"-?\d+", body)]
     return np.array(vals)
 
