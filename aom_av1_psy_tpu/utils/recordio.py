@@ -27,6 +27,8 @@ def parse_records(path: str, int16_names: tuple[str, ...] = ()) -> dict:
             dt = np.uint8
         elif es == 2:
             dt = np.int16 if name.startswith(int16_names) else np.uint16
+        elif es == 8:
+            dt = np.float64
         else:
             dt = np.int32
         arr = np.frombuffer(data, dtype=dt, count=total, offset=pos)
