@@ -306,6 +306,18 @@ def read_coeffs_txb(dec: Decoder, fc, tx_size: int, tx_type: int, plane: int,
     if eob > 2:
         eob += eob_extra
 
+    if hasattr(dec, "_h"):  # native path: one FFI call for the whole block
+        from .native_coder import native_coeff_read
+        nz_off = (nz_map_ctx_offset(tx_size) if tx_class == TX_CLASS_2D
+                  else None)
+        coeff, cul_level = native_coeff_read(
+            dec, width, height, bhl, eob, scan, tx_class, nz_off,
+            fc.coeff_base_eob_cdf[txs_ctx][plane_type],
+            fc.coeff_base_cdf[txs_ctx][plane_type],
+            fc.coeff_br_cdf[min(txs_ctx, int(TxSize.TX_32X32))][plane_type],
+            fc.dc_sign_cdf[plane_type][dc_sign_ctx])
+        return coeff, eob, cul_level
+
     lv = Levels(width, height)
     # eob-position coefficient
     c = eob - 1
@@ -399,12 +411,23 @@ def write_coeffs_txb(enc: Encoder, fc, tx_size: int, tx_type: int, plane: int,
         for i in range(1, ofs_bits):
             enc.write_bit((eob_extra >> (ofs_bits - 1 - i)) & 1)
 
-    lv = Levels(width, height)
-    lv.init_from_coeffs(coeff_flat, width, height)
-
     base_eob_cdf = fc.coeff_base_eob_cdf[txs_ctx][plane_type]
     base_cdf = fc.coeff_base_cdf[txs_ctx][plane_type]
     br_cdf = fc.coeff_br_cdf[min(txs_ctx, int(TxSize.TX_32X32))][plane_type]
+
+    tx_class_n = tx_class
+    if hasattr(enc, "_h"):  # native path: one FFI call for the whole block
+        from .native_coder import native_coeff_loop
+        nz_off = (nz_map_ctx_offset(tx_size) if tx_class_n == TX_CLASS_2D
+                  else None)
+        return native_coeff_loop(
+            enc, coeff_flat, width, height, bhl, eob, scan, tx_class_n,
+            nz_off, base_eob_cdf, base_cdf, br_cdf,
+            fc.dc_sign_cdf[plane_type][dc_sign_ctx])
+
+    lv = Levels(width, height)
+    lv.init_from_coeffs(coeff_flat, width, height)
+
     for c in range(eob - 1, -1, -1):
         pos = int(scan[c])
         level = abs(int(coeff_flat[pos]))

@@ -131,3 +131,47 @@ def make_decoder(data: bytes):
         return NativeDecoder(data)
     from .coder import Decoder
     return Decoder(data)
+
+
+def native_coeff_loop(enc: "NativeEncoder", coeff_flat: np.ndarray,
+                      width: int, height: int, bhl: int, eob: int,
+                      scan: np.ndarray, tx_class: int, nz_off,
+                      base_eob_cdf: np.ndarray, base_cdf: np.ndarray,
+                      br_cdf: np.ndarray, dc_sign_cdf: np.ndarray) -> int:
+    """Drive ec_enc_coeffs: the base/br/sign/golomb loops of one txb in a
+    single native call. CDF blocks are (n_ctx, nsyms+1) contiguous uint16
+    arrays adapted in place. Returns cul_level."""
+    lib = enc._lib
+    coeff32 = np.ascontiguousarray(coeff_flat, np.int32)
+    scan32 = np.ascontiguousarray(scan, np.int32)
+    if nz_off is None:
+        nz32 = np.zeros(1, np.int32)
+    else:
+        nz32 = np.ascontiguousarray(nz_off, np.int32)
+    assert base_eob_cdf.flags["C_CONTIGUOUS"] and base_cdf.flags["C_CONTIGUOUS"]
+    assert br_cdf.flags["C_CONTIGUOUS"] and dc_sign_cdf.flags["C_CONTIGUOUS"]
+    return int(lib.ec_enc_coeffs(
+        enc._h, _ptr(coeff32), int(width), int(height), int(bhl), int(eob),
+        _ptr(scan32), int(tx_class), _ptr(nz32), _ptr(base_eob_cdf),
+        int(base_eob_cdf.shape[-1]), _ptr(base_cdf),
+        int(base_cdf.shape[-1]), _ptr(br_cdf), int(br_cdf.shape[-1]),
+        _ptr(dc_sign_cdf)))
+
+
+def native_coeff_read(dec: "NativeDecoder", width: int, height: int,
+                      bhl: int, eob: int, scan: np.ndarray, tx_class: int,
+                      nz_off, base_eob_cdf: np.ndarray, base_cdf: np.ndarray,
+                      br_cdf: np.ndarray, dc_sign_cdf: np.ndarray):
+    """Drive ec_dec_coeffs. Returns (coeff int32 (w*h), cul_level)."""
+    lib = dec._lib
+    coeff = np.zeros(width * height, np.int32)
+    scan32 = np.ascontiguousarray(scan, np.int32)
+    nz32 = (np.zeros(1, np.int32) if nz_off is None
+            else np.ascontiguousarray(nz_off, np.int32))
+    cul = int(lib.ec_dec_coeffs(
+        dec._h, _ptr(coeff), int(width), int(height), int(bhl), int(eob),
+        _ptr(scan32), int(tx_class), _ptr(nz32), _ptr(base_eob_cdf),
+        int(base_eob_cdf.shape[-1]), _ptr(base_cdf),
+        int(base_cdf.shape[-1]), _ptr(br_cdf), int(br_cdf.shape[-1]),
+        _ptr(dc_sign_cdf)))
+    return coeff, cul

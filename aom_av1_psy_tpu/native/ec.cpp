@@ -272,4 +272,250 @@ long ec_dec_tell(Decoder *d) {
   return static_cast<long>(d->bptr) * 8 - d->cnt + d->tell_offs;
 }
 
+// ---------------------------------------------------------------------------
+// Batched coefficient coding — the per-txb base/br/sign/golomb loops of
+// av1_write_coeffs_txb in one native call (mirrors ec/coeffs.py, which is
+// the bit-exactness reference; python keeps writing the txb_skip/tx_type/
+// eob prefix symbols). Context derivation per av1/common/txb_common.h.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kTxPadHor = 4;
+constexpr int kNumBaseLevels = 2;
+constexpr int kCoeffBaseRange = 12;
+constexpr int kBrCdfSize = 4;
+
+inline int clip3(int v) { return v < 3 ? v : 3; }
+
+inline int get_nz_mag(const uint8_t *b, int p, int bhl, int tx_class) {
+  const int s = (1 << bhl) + kTxPadHor;
+  int mag = clip3(b[p + s]) + clip3(b[p + 1]);
+  if (tx_class == 0) {
+    mag += clip3(b[p + s + 1]) + clip3(b[p + 2 * s]) + clip3(b[p + 2]);
+  } else if (tx_class == 2) {
+    mag += clip3(b[p + 2]) + clip3(b[p + 3]) + clip3(b[p + 4]);
+  } else {
+    mag += clip3(b[p + 2 * s]) + clip3(b[p + 3 * s]) + clip3(b[p + 4 * s]);
+  }
+  return mag;
+}
+
+const int kNzCtxOffset1D[32] = { 26, 31, 36, 36, 36, 36, 36, 36, 36, 36, 36,
+                                 36, 36, 36, 36, 36, 36, 36, 36, 36, 36, 36,
+                                 36, 36, 36, 36, 36, 36, 36, 36, 36, 36 };
+
+inline int get_nz_map_ctx(const uint8_t *b, int pos, int bhl, int tx_class,
+                          const int32_t *nz_off) {
+  const int padded = pos + ((pos >> bhl) << 2);
+  const int stats = get_nz_mag(b, padded, bhl, tx_class);
+  if ((tx_class | pos) == 0) return 0;
+  int ctx = (stats + 1) >> 1;
+  if (ctx > 4) ctx = 4;
+  if (tx_class == 0) return ctx + nz_off[pos];
+  const int col = pos >> bhl;
+  const int row = pos - (col << bhl);
+  const int idx = tx_class == 1 ? col : row;
+  return ctx + kNzCtxOffset1D[idx < 32 ? idx : 31];
+}
+
+inline int get_br_ctx(const uint8_t *b, int pos, int bhl, int tx_class) {
+  const int col = pos >> bhl;
+  const int row = pos - (col << bhl);
+  const int s = (1 << bhl) + kTxPadHor;
+  const int p = col * s + row;
+  int mag = b[p + 1] + b[p + s];
+  if (tx_class == 0) {
+    mag += b[p + s + 1];
+    mag = (mag + 1) >> 1;
+    if (mag > 6) mag = 6;
+    if (pos == 0) return mag;
+    if (row < 2 && col < 2) return mag + 7;
+  } else if (tx_class == 1) {
+    mag += b[p + 2 * s];
+    mag = (mag + 1) >> 1;
+    if (mag > 6) mag = 6;
+    if (pos == 0) return mag;
+    if (col == 0) return mag + 7;
+  } else {
+    mag += b[p + 2];
+    mag = (mag + 1) >> 1;
+    if (mag > 6) mag = 6;
+    if (pos == 0) return mag;
+    if (row == 0) return mag + 7;
+  }
+  return mag + 14;
+}
+
+inline int lower_levels_ctx_eob(int bhl, int width, int scan_idx) {
+  if (scan_idx == 0) return 0;
+  if (scan_idx <= (width << bhl) / 8) return 1;
+  if (scan_idx <= (width << bhl) / 4) return 2;
+  return 3;
+}
+
+inline void write_golomb(Encoder *e, int level) {
+  int x = level + 1;
+  int length = 0;
+  for (int v = x; v; v >>= 1) ++length;
+  for (int i = 0; i < length - 1; ++i) e->write_bit(0);
+  for (int i = length - 1; i >= 0; --i) e->write_bit((x >> i) & 1);
+}
+
+}  // namespace
+
+// Returns cul_level (with dc sign folded per set_dc_sign).
+int ec_enc_coeffs(Encoder *e, const int32_t *coeff, int width, int height,
+                  int bhl, int eob, const int32_t *scan, int tx_class,
+                  const int32_t *nz_off, uint16_t *base_eob_cdf,
+                  int base_eob_stride, uint16_t *base_cdf, int base_stride,
+                  uint16_t *br_cdf, int br_stride, uint16_t *dc_sign_cdf) {
+  // build the padded |levels| buffer (av1_txb_init_levels)
+  const int stride = height + kTxPadHor;
+  std::vector<uint8_t> levels((width + 4) * stride + 16, 0);
+  for (int c = 0; c < width; ++c) {
+    for (int r = 0; r < height; ++r) {
+      int a = coeff[c * height + r];
+      if (a < 0) a = -a;
+      levels[c * stride + r] = static_cast<uint8_t>(a < 127 ? a : 127);
+    }
+  }
+  const uint8_t *b = levels.data();
+
+  for (int c = eob - 1; c >= 0; --c) {
+    const int pos = scan[c];
+    int level = coeff[pos];
+    if (level < 0) level = -level;
+    if (c == eob - 1) {
+      const int ctx = lower_levels_ctx_eob(bhl, width, c);
+      e->encode_symbol((level < 3 ? level : 3) - 1,
+                       base_eob_cdf + ctx * base_eob_stride, 3);
+    } else {
+      const int ctx = get_nz_map_ctx(b, pos, bhl, tx_class, nz_off);
+      e->encode_symbol(level < 3 ? level : 3, base_cdf + ctx * base_stride,
+                       4);
+    }
+    if (level > kNumBaseLevels) {
+      const int base_range = level - 1 - kNumBaseLevels;
+      const int br = get_br_ctx(b, pos, bhl, tx_class);
+      uint16_t *cdf = br_cdf + br * br_stride;
+      for (int idx = 0; idx < kCoeffBaseRange; idx += kBrCdfSize - 1) {
+        int k = base_range - idx;
+        if (k > kBrCdfSize - 1) k = kBrCdfSize - 1;
+        e->encode_symbol(k, cdf, kBrCdfSize);
+        if (k < kBrCdfSize - 1) break;
+      }
+    }
+  }
+
+  int cul_level = 0;
+  int dc_val = 0;
+  for (int c = 0; c < eob; ++c) {
+    const int v = coeff[scan[c]];
+    int level = v < 0 ? -v : v;
+    const int sign = v < 0 ? 1 : 0;
+    if (level) {
+      if (c == 0) {
+        e->encode_symbol(sign, dc_sign_cdf, 2);
+        dc_val = v;
+      } else {
+        e->write_bit(sign);
+      }
+      if (level > kCoeffBaseRange + kNumBaseLevels) {
+        write_golomb(e, level - kCoeffBaseRange - 1 - kNumBaseLevels);
+      }
+      cul_level += level;
+    }
+  }
+  if (cul_level > 7) cul_level = 7;       // COEFF_CONTEXT_MASK
+  if (dc_val < 0) cul_level |= 1 << 3;    // set_dc_sign (COEFF_CONTEXT_BITS)
+  else if (dc_val > 0) cul_level += 2 << 3;
+  return cul_level;
+}
+
+// Decode side of the same loops (mirrors read_coeffs_txb after the eob
+// prefix): fills coeff (signed int32, C layout) and returns cul_level.
+int ec_dec_coeffs(Decoder *d, int32_t *coeff, int width, int height, int bhl,
+                  int eob, const int32_t *scan, int tx_class,
+                  const int32_t *nz_off, uint16_t *base_eob_cdf,
+                  int base_eob_stride, uint16_t *base_cdf, int base_stride,
+                  uint16_t *br_cdf, int br_stride, uint16_t *dc_sign_cdf) {
+  const int stride = height + kTxPadHor;
+  std::vector<uint8_t> levels((width + 4) * stride + 16, 0);
+  uint8_t *b = levels.data();
+
+  auto read_br = [&](uint16_t *cdf, int level) {
+    for (int idx = 0; idx < kCoeffBaseRange; idx += kBrCdfSize - 1) {
+      const int k = d->decode_symbol(cdf, kBrCdfSize);
+      level += k;
+      if (k < kBrCdfSize - 1) break;
+    }
+    return level;
+  };
+
+  {  // eob-position coefficient
+    const int c = eob - 1;
+    const int pos = scan[c];
+    const int ctx = lower_levels_ctx_eob(bhl, width, c);
+    int level =
+        d->decode_symbol(base_eob_cdf + ctx * base_eob_stride, 3) + 1;
+    if (level > kNumBaseLevels) {
+      // get_br_ctx_eob
+      const int col = pos >> bhl;
+      const int row = pos - (col << bhl);
+      int br;
+      if (pos == 0) br = 0;
+      else if ((tx_class == 0 && row < 2 && col < 2) ||
+               (tx_class == 1 && col == 0) || (tx_class == 2 && row == 0))
+        br = 7;
+      else br = 14;
+      level = read_br(br_cdf + br * br_stride, level);
+    }
+    const int padded = pos + ((pos >> bhl) << 2);
+    b[padded] = static_cast<uint8_t>(level < 255 ? level : 255);
+  }
+  for (int c = eob - 2; c >= 0; --c) {
+    const int pos = scan[c];
+    const int ctx = get_nz_map_ctx(b, pos, bhl, tx_class, nz_off);
+    int level = d->decode_symbol(base_cdf + ctx * base_stride, 4);
+    if (level > kNumBaseLevels) {
+      const int br = get_br_ctx(b, pos, bhl, tx_class);
+      level = read_br(br_cdf + br * br_stride, level);
+    }
+    const int padded = pos + ((pos >> bhl) << 2);
+    b[padded] = static_cast<uint8_t>(level < 255 ? level : 255);
+  }
+
+  std::memset(coeff, 0, sizeof(int32_t) * width * height);
+  int cul_level = 0;
+  int dc_val = 0;
+  for (int c = 0; c < eob; ++c) {
+    const int pos = scan[c];
+    const int padded = pos + ((pos >> bhl) << 2);
+    int level = b[padded];
+    if (!level) continue;
+    int sign;
+    if (c == 0) sign = d->decode_symbol(dc_sign_cdf, 2);
+    else sign = d->read_bit();
+    if (level >= kCoeffBaseRange + kNumBaseLevels + 1) {
+      // read_golomb
+      int length = 0;
+      while (!d->read_bit()) {
+        ++length;
+        if (length > 20) break;
+      }
+      int x = 1;
+      for (int i = 0; i < length; ++i) x = (x << 1) | d->read_bit();
+      level += x - 1;
+    }
+    if (c == 0) dc_val = sign ? -level : level;
+    coeff[pos] = sign ? -level : level;
+    cul_level += level;
+  }
+  if (cul_level > 7) cul_level = 7;
+  if (dc_val < 0) cul_level |= 1 << 3;
+  else if (dc_val > 0) cul_level += 2 << 3;
+  return cul_level;
+}
+
 }  // extern "C"

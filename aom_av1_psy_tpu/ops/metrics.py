@@ -138,3 +138,92 @@ def ssim(img1: np.ndarray, img2: np.ndarray) -> float:
         (n * sum_sq_s - sum_s ** 2 + n * sum_sq_r - sum_r ** 2 + c2)
     v = ssim_n / ssim_d
     return float(v.mean())
+
+
+# ---------------------------------------------------------------------------
+# Sub-pixel / OBMC / masked variants (aom_dsp/variance.c:91+, sad_av1.c)
+# ---------------------------------------------------------------------------
+
+_BIL_2T = np.array([[128, 0], [112, 16], [96, 32], [80, 48],
+                    [64, 64], [48, 80], [32, 96], [16, 112]], np.int64)
+
+
+def _bil_pass(a, taps, vertical: bool):
+    """aom_var_filter_block2d_bil_*_pass_c: 2-tap bilinear, round 7."""
+    xp = _xp(a)
+    t0, t1 = int(taps[0]), int(taps[1])
+    if vertical:
+        s = a[..., :-1, :] * t0 + a[..., 1:, :] * t1
+    else:
+        s = a[..., :, :-1] * t0 + a[..., :, 1:] * t1
+    return (s + 64) >> 7
+
+
+def subpel_project(src_ext, w: int, h: int, xoffset: int, yoffset: int):
+    """The bilinear-projected prediction used by sub_pixel_variance:
+    src_ext: (..., h+1, w+1) region (one extra row/col)."""
+    xp = _xp(src_ext)
+    a = src_ext.astype(xp.int64)
+    f = _bil_pass(a[..., : h + 1, :], _BIL_2T[xoffset], False)  # (h+1, w)
+    return _bil_pass(f, _BIL_2T[yoffset], True)                 # (h, w)
+
+
+def sub_pixel_variance(src_ext, ref, xoffset: int, yoffset: int):
+    """aom_sub_pixel_variance{W}x{H}_c: returns (variance, sse)."""
+    xp = _xp(src_ext)
+    h, w = ref.shape[-2:]
+    pred = subpel_project(src_ext, w, h, xoffset, yoffset)
+    d = pred - ref.astype(xp.int64)
+    sse = (d * d).sum((-1, -2))
+    s = d.sum((-1, -2))
+    return sse - (s * s) // (w * h), sse
+
+
+def sub_pixel_avg_variance(src_ext, ref, xoffset: int, yoffset: int,
+                           second_pred):
+    """aom_sub_pixel_avg_variance{W}x{H}_c: bilinear pred averaged with
+    second_pred before the variance."""
+    xp = _xp(src_ext)
+    h, w = ref.shape[-2:]
+    pred = subpel_project(src_ext, w, h, xoffset, yoffset)
+    pred = (pred + second_pred.astype(xp.int64) + 1) >> 1
+    d = pred - ref.astype(xp.int64)
+    sse = (d * d).sum((-1, -2))
+    s = d.sum((-1, -2))
+    return sse - (s * s) // (w * h), sse
+
+
+def _round2_signed(v, bits):
+    """ROUND_POWER_OF_TWO_SIGNED: round magnitude, keep sign."""
+    xp = _xp(v)
+    mag = (xp.abs(v) + (1 << (bits - 1))) >> bits
+    return xp.where(v < 0, -mag, mag)
+
+
+def obmc_sad(pre, wsrc, mask):
+    """aom_obmc_sad{W}x{H}_c: |round2s(wsrc - pre*mask, 12)| summed."""
+    xp = _xp(pre)
+    diff = wsrc.astype(xp.int64) - pre.astype(xp.int64) * mask.astype(xp.int64)
+    r = _round2_signed(diff, 12)
+    return xp.abs(r).sum((-1, -2))
+
+
+def obmc_variance(pre, wsrc, mask):
+    """aom_obmc_variance{W}x{H}_c: returns (variance, sse)."""
+    xp = _xp(pre)
+    h, w = pre.shape[-2:]
+    diff = wsrc.astype(xp.int64) - pre.astype(xp.int64) * mask.astype(xp.int64)
+    r = _round2_signed(diff, 12)
+    sse = (r * r).sum((-1, -2))
+    s = r.sum((-1, -2))
+    return sse - (s * s) // (w * h), sse
+
+
+def masked_sad(src, a, b, mask, invert: bool = False):
+    """aom_masked_sad{W}x{H}_c: SAD against the a64 mask blend of a/b."""
+    xp = _xp(src)
+    m = mask.astype(xp.int64)
+    if invert:
+        a, b = b, a
+    pred = (m * a.astype(xp.int64) + (64 - m) * b.astype(xp.int64) + 32) >> 6
+    return xp.abs(pred - src.astype(xp.int64)).sum((-1, -2))
