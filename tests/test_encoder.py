@@ -81,3 +81,23 @@ def test_aomdec_conformance(tmp_path, q, bs, lossless):
             f.v, raw[off + w * h + cw * ch : off + fsz].reshape(ch, cw))
         if lossless:
             np.testing.assert_array_equal(f.y, src[i].y)
+
+
+def test_tune_psy_stream_conforms():
+    """--tune-content=psy analogue: SSIM/psy rdmult modulation produces a
+    stream aomdec-compatible syntax-wise (decoded by our own decoder)."""
+    import numpy as np
+    from aom_av1_psy_tpu.encoder.frame import FrameEncoder, EncoderConfig
+    from aom_av1_psy_tpu.decoder.obu import Av1Decoder
+    from aom_av1_psy_tpu.utils.frame import Frame
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (96, 96), np.uint8)
+    y[:48] //= 4  # dark region: psy dark-bias / rdmult modulation target
+    u = np.full((48, 48), 120, np.uint8)
+    v = np.full((48, 48), 130, np.uint8)
+    cfg = EncoderConfig(base_q_idx=100, tune_psy=True)
+    pkt = FrameEncoder(Frame(y, u, v), cfg).encode()
+    out = Av1Decoder().decode_packet(pkt)[0]
+    assert out.y.shape == (96, 96)
+    err = np.abs(out.y.astype(int) - y.astype(int)).mean()
+    assert err < 30
