@@ -546,7 +546,6 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
             q.qm_v = q.qm_u
         else:
             q.qm_v = r.f(4)
-        raise NotImplementedError("quantizer matrices")
     # segmentation_params()
     fh.segmentation_enabled = bool(r.f(1))
     if fh.segmentation_enabled:

@@ -744,7 +744,7 @@ class FrameDecoder:
             return
         # ---- reconstruct ----
         if eob > 0:
-            dq = self._dequant(coeff, plane, tx_size)
+            dq = self._dequant(coeff, plane, tx_size, tx_type)
             if self.lossless:
                 rec = txfm_ops.iwht4x4_add(dq[None], pred[None, :4, :4],
                                            bd=self.bd)[0]
@@ -833,11 +833,41 @@ class FrameDecoder:
             int(NUM_EXT_TX_SET[set_type]))
         return int(EXT_TX_INV[set_type][sym])
 
-    def _dequant(self, coeff, plane, tx_size):
+    def _iqmatrix(self, plane, tx_size, tx_type):
+        """av1_get_iqmatrix (quant_common.c:251): per-plane qm level from
+        the header, flat (None) for 1D/IDTX transforms or level 15."""
+        q = self.fh.quant
+        if not q.using_qmatrix or self.lossless or tx_type >= 9:
+            return None
+        lvl = (q.qm_y, q.qm_u, q.qm_v)[plane]
+        if lvl == 15:
+            return None
+        ts_adj = TS.adjusted_tx_size(tx_size)
+        key = f"iqm_q{lvl}_c{1 if plane else 0}_t{ts_adj}"
+        cache = getattr(self, "_qm_cache", None)
+        if cache is None:
+            cache = self._qm_cache = {}
+        if key not in cache:
+            import os
+            path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "normative", "data", "qm_tables.npz")
+            if not hasattr(FrameDecoder, "_qm_npz"):
+                FrameDecoder._qm_npz = np.load(path)
+            # the table's memory order IS the coefficient flat order the
+            # scan positions index (same convention as our col*H+row
+            # layout) — use it directly
+            cache[key] = FrameDecoder._qm_npz[key].astype(np.int64).ravel()
+        return cache[key]
+
+    def _dequant(self, coeff, plane, tx_size, tx_type=0):
         dc, ac = self.dequant[plane]
         shift = tx_scale(tx_size)
         dqv = np.full(coeff.shape, ac, np.int64)
         dqv[0] = dc
+        iqm = self._iqmatrix(plane, tx_size, tx_type)
+        if iqm is not None:
+            # get_dqv (decodetxb.c): dqv = (iqm[pos]*dqv + 16) >> 5
+            dqv = (iqm[: len(dqv)] * dqv + 16) >> 5
         mag = np.abs(coeff.astype(np.int64)) * dqv
         mag &= 0xFFFFFF
         mag >>= shift

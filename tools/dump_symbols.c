@@ -68,7 +68,8 @@ int main(int argc, char **argv) {
   cfg.kf_max_dist = 1;
   cfg.rc_end_usage = AOM_Q;
   /* argv[8]: superres denominator (9..16) -> fixed superres mode;
-     argv[9] (optional): kf denominator (defaults to argv[8]) */
+     argv[9] (optional): kf denominator (defaults to argv[8]);
+     argv[10] (optional): enable quantizer matrices (qm-min 2, qm-max 5) */
   if (argc > 8 && atoi(argv[8]) > 8) {
     cfg.rc_superres_mode = AOM_SUPERRES_FIXED;
     cfg.rc_superres_denominator = atoi(argv[8]);
@@ -86,6 +87,11 @@ int main(int argc, char **argv) {
     aom_codec_control(&codec, AV1E_SET_ENABLE_CDEF, 0);
   if (argc <= 7 || atoi(argv[7]) == 0)
     aom_codec_control(&codec, AV1E_SET_ENABLE_RESTORATION, 0);
+  if (argc > 10 && atoi(argv[10])) {
+    aom_codec_control(&codec, AV1E_SET_ENABLE_QM, 1);
+    aom_codec_control(&codec, AV1E_SET_QM_MIN, 2);
+    aom_codec_control(&codec, AV1E_SET_QM_MAX, 5);
+  }
   aom_image_t img;
   if (!aom_img_alloc(&img, AOM_IMG_FMT_I420, w, h, 1)) die("img");
 
