@@ -1119,7 +1119,9 @@ def _lr_reset_refs(self):
     for _ in range(self.nplanes):
         f = [3, -7, 15, -2 * (3 - 7 + 15), 15, -7, 3, 0]
         self.lr_wiener_ref.append({"v": list(f), "h": list(f)})
-        self.lr_sgr_ref.append([(-96 + 31) // 2, (-32 + 95) // 2])
+        # C truncating division: (SGRPROJ_PRJ_MIN0 + SGRPROJ_PRJ_MAX0) / 2 =
+        # -65/2 = -32 (Python floor // would give -33)
+        self.lr_sgr_ref.append([int((-96 + 31) / 2), (-32 + 95) // 2])
 
 
 def _lr_read_unit(self, plane, runit_idx):
@@ -1218,11 +1220,25 @@ def _lr_read_for_sb(self, mi_row, mi_col):
 
 
 def _lr_apply(self):
-    """av1_loop_restoration_filter_frame with stripe boundary handling."""
+    """av1_loop_restoration_filter_frame with stripe boundary handling.
+
+    When CDEF and superres are both inactive the reference decoder takes the
+    optimized-LR path (decodeframe.c:5279 ``optimized_loop_restoration =
+    !do_cdef && !do_superres``): no deblock boundary lines are swapped in;
+    instead the 3rd border row above/below each stripe is a duplicate of the
+    2nd row of the *current* frame data (restoration.c:345-366 ``opt`` arm of
+    setup_processing_stripe_boundary)."""
     from ..ops import restoration as R
     if not hasattr(self, "lr_planes") or all(
             lp is None for lp in self.lr_planes):
         return
+    c = self.fh.cdef
+    do_cdef = (self.seq.enable_cdef and not self.lossless
+               and not self.fh.allow_intrabc
+               and bool(c.bits or (c.y_pri[0] * 4 + c.y_sec[0])
+                        or (c.uv_pri[0] * 4 + c.uv_sec[0]
+                            if c.uv_pri else 0)))
+    optimized = not do_cdef and not self.fh.use_superres
     for plane in range(self.nplanes):
         lp = self.lr_planes[plane]
         if lp is None:
@@ -1278,16 +1294,24 @@ def _lr_apply(self):
                     rows = np.clip(np.arange(ys0 - 3, ys0 + sh + 3), 0, h - 1)
                     cs = slice(h0, h0 + wu_pad + 6)  # +3 offset baked in pad
                     ext = src_p[rows][:, cs].copy()
-                    if copy_above:
-                        ext[0] = deb_p[ys0 - 2, cs]
-                        ext[1] = deb_p[ys0 - 2, cs]
-                        ext[2] = deb_p[ys0 - 1, cs]
-                    if copy_below:
-                        yb = ys0 + sh
-                        yb1 = min(yb + 1, h - 1)
-                        ext[sh + 3] = deb_p[yb, cs]
-                        ext[sh + 4] = deb_p[yb1, cs]
-                        ext[sh + 5] = deb_p[yb1, cs]
+                    if optimized:
+                        # opt arm: only the outermost border rows are
+                        # overwritten, with the adjacent current-data row
+                        if copy_above:
+                            ext[0] = ext[1]
+                        if copy_below:
+                            ext[sh + 5] = ext[sh + 4]
+                    elif copy_above or copy_below:
+                        if copy_above:
+                            ext[0] = deb_p[ys0 - 2, cs]
+                            ext[1] = deb_p[ys0 - 2, cs]
+                            ext[2] = deb_p[ys0 - 1, cs]
+                        if copy_below:
+                            yb = ys0 + sh
+                            yb1 = min(yb + 1, h - 1)
+                            ext[sh + 3] = deb_p[yb, cs]
+                            ext[sh + 4] = deb_p[yb1, cs]
+                            ext[sh + 5] = deb_p[yb1, cs]
                     out = np.empty((sh, wu), np.int32)
                     j = 0
                     while j < wu:

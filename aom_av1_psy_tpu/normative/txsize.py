@@ -36,13 +36,11 @@ def txsize_entropy_ctx(ts: int) -> int:
 
 
 def tx_scale(ts: int) -> int:
-    """Dequant downshift for large transforms (av1_get_tx_scale)."""
-    sqr_up = TXSIZE_SQR_UP[ts]
-    if sqr_up == TxSize.TX_32X32:
-        return 1
-    if sqr_up == TxSize.TX_64X64:
-        return 2
-    return 0
+    """Dequant downshift for large transforms (av1_get_tx_scale,
+    av1_txfm.h): based on the PIXEL COUNT, not the squared-up size —
+    TX_8X32 (256 pels) scales by 0 even though its square-up is 32x32."""
+    pels = int(TX_WIDTH[ts]) * int(TX_HEIGHT[ts])
+    return int(pels > 256) + int(pels > 1024)
 
 
 # largest rectangular tx fitting each block (blockd.h max_txsize_rect_lookup);
