@@ -304,6 +304,18 @@ class FrameHeader:
     force_integer_mv: bool = False
     frame_size_override: bool = False
     order_hint: int = 0
+    # inter-frame fields (read_uncompressed_header, decodeframe.c:4452)
+    show_existing_frame: bool = False
+    frame_to_show_map_idx: int = -1
+    primary_ref_frame: int = PRIMARY_REF_NONE
+    ref_frame_idx: list = dataclasses.field(default_factory=lambda: [0] * 7)
+    allow_ref_frame_mvs: bool = False
+    reference_select: bool = False
+    skip_mode_present: bool = False
+    skip_mode_frames: tuple = (-1, -1)
+    allow_warped_motion: bool = False
+    global_motion: list = None  # 8 WarpModel (index by ref frame 1..7)
+    refresh_frame_context_backward: bool = False
     width: int = 0
     height: int = 0
     render_width: int = 0
@@ -447,14 +459,122 @@ def write_tile_info(w: BitWriter, seq: SequenceHeader, t: TileInfo,
         w.f(t.tile_size_bytes - 1, 2)
 
 
-def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
-    """uncompressed_header() for intra frames (spec 5.9.2)."""
+def _read_signed_refsubexpfin(r: BitReader, n: int, k: int, ref: int) -> int:
+    """aom_rb_read_signed_primitive_refsubexpfin over raw header bits."""
+    from ..ec.binary_codes import inv_recenter_finite_nonneg
+
+    class _Rb:
+        def read_bit(self):
+            return r.f(1)
+
+        def read_literal(self, bits):
+            return r.f(bits)
+
+    rb = _Rb()
+    ref += n - 1
+    n2 = 2 * n - 1
+    # read_primitive_subexpfin over rb bits
+    i = 0
+    mk = 0
+    v = None
+    while True:
+        b = (k + i - 1) if i else k
+        a = 1 << b
+        if n2 <= mk + 3 * a:
+            # quniform
+            nn = n2 - mk
+            if nn <= 1:
+                v = mk
+                break
+            length = nn.bit_length()
+            m = (1 << length) - nn
+            q = rb.read_literal(length - 1)
+            v = (q if q < m else (q << 1) - m + rb.read_bit()) + mk
+            break
+        if not rb.read_bit():
+            v = rb.read_literal(b) + mk
+            break
+        i += 1
+        mk += a
+    return inv_recenter_finite_nonneg(n2, ref, v) - n + 1
+
+
+def _read_global_motion_params(r: BitReader, ref_params, allow_hp: bool):
+    """read_global_motion_params (decodeframe.c:4264)."""
+    from ..normative import mvref as MR
+    typ = r.f(1)
+    if typ != 0:
+        if r.f(1):
+            typ = MR.ROTZOOM
+        else:
+            typ = MR.TRANSLATION if r.f(1) else MR.AFFINE
+    params = MR.WarpModel()
+    params.wmtype = typ
+    if typ >= MR.ROTZOOM:
+        params.wmmat[2] = _read_signed_refsubexpfin(
+            r, MR.GM_ALPHA_MAX + 1, MR.SUBEXPFIN_K,
+            (ref_params.wmmat[2] >> MR.GM_ALPHA_PREC_DIFF)
+            - (1 << MR.GM_ALPHA_PREC_BITS)) * MR.GM_ALPHA_DECODE_FACTOR \
+            + (1 << MR.WARPEDMODEL_PREC_BITS)
+        params.wmmat[3] = _read_signed_refsubexpfin(
+            r, MR.GM_ALPHA_MAX + 1, MR.SUBEXPFIN_K,
+            ref_params.wmmat[3] >> MR.GM_ALPHA_PREC_DIFF) \
+            * MR.GM_ALPHA_DECODE_FACTOR
+    if typ >= MR.AFFINE:
+        params.wmmat[4] = _read_signed_refsubexpfin(
+            r, MR.GM_ALPHA_MAX + 1, MR.SUBEXPFIN_K,
+            ref_params.wmmat[4] >> MR.GM_ALPHA_PREC_DIFF) \
+            * MR.GM_ALPHA_DECODE_FACTOR
+        params.wmmat[5] = _read_signed_refsubexpfin(
+            r, MR.GM_ALPHA_MAX + 1, MR.SUBEXPFIN_K,
+            (ref_params.wmmat[5] >> MR.GM_ALPHA_PREC_DIFF)
+            - (1 << MR.GM_ALPHA_PREC_BITS)) * MR.GM_ALPHA_DECODE_FACTOR \
+            + (1 << MR.WARPEDMODEL_PREC_BITS)
+    elif typ >= MR.ROTZOOM:
+        params.wmmat[4] = -params.wmmat[3]
+        params.wmmat[5] = params.wmmat[2]
+    if typ >= MR.TRANSLATION:
+        if typ == MR.TRANSLATION:
+            trans_bits = MR.GM_ABS_TRANS_ONLY_BITS - (not allow_hp)
+            trans_dec_factor = (MR.GM_TRANS_ONLY_DECODE_FACTOR
+                                * (1 << (not allow_hp)))
+            trans_prec_diff = MR.GM_TRANS_ONLY_PREC_DIFF + (not allow_hp)
+        else:
+            trans_bits = MR.GM_ABS_TRANS_BITS
+            trans_dec_factor = MR.GM_TRANS_DECODE_FACTOR
+            trans_prec_diff = MR.GM_TRANS_PREC_DIFF
+        params.wmmat[0] = _read_signed_refsubexpfin(
+            r, (1 << trans_bits) + 1, MR.SUBEXPFIN_K,
+            ref_params.wmmat[0] >> trans_prec_diff) * trans_dec_factor
+        params.wmmat[1] = _read_signed_refsubexpfin(
+            r, (1 << trans_bits) + 1, MR.SUBEXPFIN_K,
+            ref_params.wmmat[1] >> trans_prec_diff) * trans_dec_factor
+    if typ <= MR.AFFINE:
+        from ..ops.warp import get_shear_params
+        ok = get_shear_params(params)
+        if not ok:
+            params.invalid = True
+    return params
+
+
+def read_frame_header(r: BitReader, seq: SequenceHeader,
+                      ref_state=None) -> FrameHeader:
+    """uncompressed_header() (spec 5.9.2; decodeframe.c:4452
+    read_uncompressed_header). For inter frames ``ref_state`` supplies the
+    decoder's reference-slot info: an object with ``slot_order_hint(idx)``,
+    ``slot_size(idx)`` -> (upscaled_w, h, render_w, render_h),
+    ``slot_global_motion(slot)`` and ``slot_frame_type(idx)``."""
     fh = FrameHeader()
     if not seq.reduced_still_picture_header:
         if r.f(1):
-            raise NotImplementedError("show_existing_frame")
+            fh.show_existing_frame = True
+            fh.frame_to_show_map_idx = r.f(3)
+            if seq.frame_id_numbers_present:
+                raise NotImplementedError("frame ids")
+            return fh
         fh.frame_type = r.f(2)
         fh.show_frame = bool(r.f(1))
+        fh.showable_frame = fh.frame_type != 0
         if not fh.show_frame:
             fh.showable_frame = bool(r.f(1))
         if fh.frame_type == 3 or (fh.frame_type == 0 and fh.show_frame):
@@ -464,9 +584,7 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
     else:
         fh.frame_type = 0
         fh.show_frame = True
-    if fh.frame_type not in (0, 2):
-        raise NotImplementedError("inter frame header")
-    frame_is_intra = True
+    frame_is_intra = fh.frame_type in (0, 2)
     fh.disable_cdf_update = bool(r.f(1))
     if seq.seq_force_screen_content_tools == 2:
         fh.allow_screen_content_tools = bool(r.f(1))
@@ -477,52 +595,106 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
             fh.force_integer_mv = bool(r.f(1))
         else:
             fh.force_integer_mv = bool(seq.seq_force_integer_mv)
+    else:
+        fh.force_integer_mv = False
     if frame_is_intra:
         fh.force_integer_mv = True
     if seq.frame_id_numbers_present:
         raise NotImplementedError("frame ids")
     if not seq.reduced_still_picture_header:
         fh.frame_size_override = bool(r.f(1))
-    if seq.enable_order_hint:
-        fh.order_hint = r.f(seq.order_hint_bits)
-    # primary_ref_frame: PRIMARY_REF_NONE for intra (no bits)
-    if fh.frame_type == 2:  # INTRA_ONLY
+        if seq.enable_order_hint:
+            fh.order_hint = r.f(seq.order_hint_bits)
+        if not fh.error_resilient_mode and not frame_is_intra:
+            fh.primary_ref_frame = r.f(3)
+    if fh.frame_type == 0:  # KEY
+        fh.refresh_frame_flags = 0xFF if fh.show_frame else r.f(8)
+    elif fh.frame_type == 2:  # INTRA_ONLY
         fh.refresh_frame_flags = r.f(8)
-    # ref_order_hint loop: skipped (refresh==0xFF keyframe or no order hints)
-    if (fh.refresh_frame_flags != 0xFF
-            and fh.error_resilient_mode and seq.enable_order_hint):
+    else:
+        fh.refresh_frame_flags = 0xFF if fh.frame_type == 3 else r.f(8)
+    if (not frame_is_intra or fh.refresh_frame_flags != 0xFF) \
+            and fh.error_resilient_mode and seq.enable_order_hint:
         for _ in range(8):
             r.f(seq.order_hint_bits)
-    # frame_size()
-    if fh.frame_size_override:
-        fh.width = r.f(seq.frame_width_bits) + 1
-        fh.height = r.f(seq.frame_height_bits) + 1
-    else:
-        fh.width = seq.max_frame_width
-        fh.height = seq.max_frame_height
-    fh.upscaled_width = fh.width
-    if seq.enable_superres:
-        # superres_params() (spec 5.9.8): coded width is the downscale of
-        # the (already read) upscaled width by denom/8
-        fh.use_superres = bool(r.f(1))
+
+    def frame_size():
+        if fh.frame_size_override:
+            fh.width = r.f(seq.frame_width_bits) + 1
+            fh.height = r.f(seq.frame_height_bits) + 1
+        else:
+            fh.width = seq.max_frame_width
+            fh.height = seq.max_frame_height
+        fh.upscaled_width = fh.width
+        superres_params()
+
+    def superres_params():
+        if seq.enable_superres:
+            fh.use_superres = bool(r.f(1))
         if fh.use_superres:
             fh.superres_denom = r.f(SUPERRES_DENOM_BITS) + SUPERRES_DENOM_MIN
             fh.width = (fh.upscaled_width * SUPERRES_NUM
                         + fh.superres_denom // 2) // fh.superres_denom
-    # render_size()
-    if r.f(1):
-        fh.render_width = r.f(16) + 1
-        fh.render_height = r.f(16) + 1
+
+    def render_size():
+        if r.f(1):
+            fh.render_width = r.f(16) + 1
+            fh.render_height = r.f(16) + 1
+        else:
+            fh.render_width = fh.upscaled_width
+            fh.render_height = fh.height
+
+    if frame_is_intra:
+        frame_size()
+        render_size()
+        if fh.allow_screen_content_tools and not fh.use_superres:
+            fh.allow_intrabc = bool(r.f(1))
+            if fh.allow_intrabc:
+                raise NotImplementedError("intrabc")
     else:
-        fh.render_width, fh.render_height = fh.upscaled_width, fh.height
-    if fh.allow_screen_content_tools and not fh.use_superres:
-        fh.allow_intrabc = bool(r.f(1))
-        if fh.allow_intrabc:
-            raise NotImplementedError("intrabc")
+        frame_refs_short_signaling = False
+        if seq.enable_order_hint:
+            frame_refs_short_signaling = bool(r.f(1))
+        if frame_refs_short_signaling:
+            raise NotImplementedError("frame_refs_short_signaling")
+        for i in range(7):
+            fh.ref_frame_idx[i] = r.f(3)
+        if fh.frame_size_override and not fh.error_resilient_mode:
+            # setup_frame_size_with_refs (decodeframe.c:1993)
+            found = False
+            for i in range(7):
+                if r.f(1):
+                    (fh.upscaled_width, fh.height, fh.render_width,
+                     fh.render_height) = ref_state.slot_size(
+                         fh.ref_frame_idx[i])
+                    fh.width = fh.upscaled_width
+                    superres_params()
+                    found = True
+                    break
+            if not found:
+                frame_size()
+                render_size()
+        else:
+            frame_size()
+            render_size()
+        if fh.force_integer_mv:
+            fh.allow_high_precision_mv = False
+        else:
+            fh.allow_high_precision_mv = bool(r.f(1))
+        # read_frame_interp_filter
+        fh.is_filter_switchable = bool(r.f(1))
+        fh.interp_filter = 4 if fh.is_filter_switchable else r.f(2)
+        fh.is_motion_mode_switchable = bool(r.f(1))
+        if fh.error_resilient_mode or not seq.enable_ref_frame_mvs \
+                or not seq.enable_order_hint:
+            fh.allow_ref_frame_mvs = False
+        else:
+            fh.allow_ref_frame_mvs = bool(r.f(1))
     if seq.reduced_still_picture_header or fh.disable_cdf_update:
         fh.disable_frame_end_update_cdf = True
     else:
         fh.disable_frame_end_update_cdf = bool(r.f(1))
+    fh.refresh_frame_context_backward = not fh.disable_frame_end_update_cdf
     fh.tiles = read_tile_info(r, seq, fh.width, fh.height)
     # quantization_params()
     q = fh.quant
@@ -563,8 +735,14 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
             fh.delta_lf_res = r.f(2)
             fh.delta_lf_multi = bool(r.f(1))
     coded_lossless = fh.coded_lossless and not fh.delta_q_present
-    # loop_filter_params()
+    # loop_filter_params(); ref/mode deltas inherit from the primary ref
+    # frame's saved values (decodeframe.c setup_loopfilter "if cm->prev_frame")
     lf = fh.lf
+    if fh.primary_ref_frame != PRIMARY_REF_NONE and ref_state is not None:
+        prev = ref_state.slot_lf_deltas(
+            fh.ref_frame_idx[fh.primary_ref_frame])
+        if prev is not None:
+            lf.ref_deltas, lf.mode_deltas = tuple(prev[0]), tuple(prev[1])
     if not (coded_lossless or fh.allow_intrabc):
         l0 = r.f(6)
         l1 = r.f(6)
@@ -629,12 +807,73 @@ def read_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
         fh.tx_mode_select = False
     else:
         fh.tx_mode_select = bool(r.f(1))
-    # frame_reference_mode / skip_mode / warped motion: intra -> none
+    # frame_reference_mode (decodeframe.c:133)
+    if not frame_is_intra:
+        fh.reference_select = bool(r.f(1))
+        # skip_mode_params: av1_setup_skip_mode_allowed (mvref_common.c)
+        allowed, pair = _skip_mode_allowed(fh, seq, ref_state)
+        fh.skip_mode_frames = pair
+        fh.skip_mode_present = bool(r.f(1)) if allowed else False
+        if (not fh.error_resilient_mode and seq.enable_warped_motion):
+            fh.allow_warped_motion = bool(r.f(1))
     fh.reduced_tx_set = bool(r.f(1))
-    # global motion: intra, not present
+    if not frame_is_intra:
+        # global motion params per ref frame (decodeframe.c:4336); reference
+        # params come from the primary ref frame's saved models
+        from ..normative import mvref as MR
+        fh.global_motion = [MR.WarpModel() for _ in range(8)]
+        for frame in range(1, 8):
+            if fh.primary_ref_frame != PRIMARY_REF_NONE and \
+                    ref_state is not None:
+                prev = ref_state.slot_global_motion(
+                    fh.ref_frame_idx[fh.primary_ref_frame])
+                ref_params = prev[frame] if prev else MR.WarpModel()
+            else:
+                ref_params = MR.WarpModel()
+            fh.global_motion[frame] = _read_global_motion_params(
+                r, ref_params, fh.allow_high_precision_mv)
     if seq.film_grain_params_present and (fh.show_frame or fh.showable_frame):
         fh.film_grain = read_film_grain_params(r, seq, fh)
     return fh
+
+
+def _skip_mode_allowed(fh: FrameHeader, seq: SequenceHeader, ref_state):
+    """av1_setup_skip_mode_allowed: nearest fwd+bwd (or two fwd) refs."""
+    if not seq.enable_order_hint or fh.frame_type in (0, 2) \
+            or not fh.reference_select:
+        return False, (-1, -1)
+    from ..normative.mvref import get_relative_dist
+    bits = seq.order_hint_bits
+    cur = fh.order_hint
+
+    def dist(a, b):
+        return get_relative_dist(True, bits, a, b)
+
+    ref_hints = [ref_state.slot_order_hint(fh.ref_frame_idx[i])
+                 for i in range(7)]
+    fwd, bwd = -1, -1
+    fwd_hint, bwd_hint = -1, 1 << 30
+    for i, h in enumerate(ref_hints):
+        if h is None:
+            continue
+        if dist(h, cur) < 0:
+            if fwd == -1 or dist(h, fwd_hint) > 0:
+                fwd, fwd_hint = i, h
+        elif dist(h, cur) > 0:
+            if bwd == -1 or dist(h, bwd_hint) < 0:
+                bwd, bwd_hint = i, h
+    if fwd >= 0 and bwd >= 0:
+        return True, (min(fwd, bwd), max(fwd, bwd))
+    if fwd >= 0:
+        snd, snd_hint = -1, -1
+        for i, h in enumerate(ref_hints):
+            if h is None:
+                continue
+            if dist(h, fwd_hint) < 0 and (snd == -1 or dist(h, snd_hint) > 0):
+                snd, snd_hint = i, h
+        if snd >= 0:
+            return True, (min(fwd, snd), max(fwd, snd))
+    return False, (-1, -1)
 
 
 def read_film_grain_params(r: BitReader, seq: SequenceHeader,

@@ -144,12 +144,28 @@ class CflCtx:
 
 
 class FrameDecoder:
-    def __init__(self, seq: SequenceHeader, fh: FrameHeader):
+    def __init__(self, seq: SequenceHeader, fh: FrameHeader, refs=None,
+                 ref_sign_bias=None):
         self.seq = seq
         self.fh = fh
         self.bd = seq.bit_depth
         assert self.bd == 8, "8-bit only for now"
         self.w, self.h = fh.width, fh.height
+        # inter state (refs: list indexed by ref frame 1..7 -> slot dicts)
+        from ..normative import mvref as MR
+        self.frame_is_intra = fh.frame_type in (0, 2)
+        self.refs = refs or [None] * 8
+        self.global_motion = (fh.global_motion
+                              or [MR.WarpModel() for _ in range(8)])
+        self.ref_frame_sign_bias = ref_sign_bias or [0] * 8
+        self.cur_order_hint = fh.order_hint
+        self.enable_order_hint = seq.enable_order_hint
+        self.order_hint_bits = seq.order_hint_bits
+        self.allow_high_precision_mv = fh.allow_high_precision_mv
+        self.force_integer_mv = bool(fh.force_integer_mv)
+        self.allow_ref_frame_mvs = fh.allow_ref_frame_mvs
+        self.tpl_mvs = None  # set by the OBU layer when ref-frame MVs are on
+        self.ref_frame_side = [0] * 8
         self.mi_cols = (self.w + 7) // 8 * 2
         self.mi_rows = (self.h + 7) // 8 * 2
         self.sb_mi = 32 if seq.use_128x128_superblock else 16
@@ -213,6 +229,18 @@ class FrameDecoder:
         self.mi_bw4 = np.ones(shape, np.int32)
         self.has_tr_tables = self._load_avail_tables("tr")
         self.has_bl_tables = self._load_avail_tables("bl")
+        # object mi grid (mirrors the C mi_grid_base pointer sharing) and
+        # the inter-side grids
+        self.mi = np.empty(shape, object)
+        self.mi_ref0 = g(0)
+        self.mi_is_inter = g(0)
+        self.mi_inter_tx = g(TxSize.TX_4X4)  # per-4x4 luma tx (var-tx)
+        # per-8x8 saved MVs for future frames' temporal MVP
+        # (av1_copy_frame_mvs)
+        mvs_r = (self.mi_rows + 1) >> 1
+        mvs_c = (self.mi_cols + 1) >> 1
+        self.frame_mvs_ref = np.full((mvs_r, mvs_c), -1, np.int32)
+        self.frame_mvs = np.zeros((mvs_r, mvs_c, 2), np.int32)
 
     # ------------------------------------------------------------------
     def _load_avail_tables(self, kind):
@@ -253,12 +281,14 @@ class FrameDecoder:
         _lr_reset_refs(self)
         ncols = (self.mi_cols + self.sb_mi - 1) // self.sb_mi * self.sb_mi
         self.above_part = np.zeros(ncols, np.int32)
-        self.above_txfm = np.zeros(ncols, np.int32)
+        # txfm contexts init to 64 = tx_size_wide[TX_SIZES_LARGEST]
+        # (av1_zero_above_context/av1_zero_left_context, av1_common_int.h:1607)
+        self.above_txfm = np.full(ncols, 64, np.int32)
         self.above_ent = [np.zeros(ncols >> sx, np.uint8) for sx, _ in self.ss]
         for r0 in range(self.tile_mi_row_start, self.tile_mi_row_end,
                         self.sb_mi):
             self.left_part = np.zeros(self.sb_mi, np.int32)
-            self.left_txfm = np.zeros(self.sb_mi, np.int32)
+            self.left_txfm = np.full(self.sb_mi, 64, np.int32)
             self.left_ent = [np.zeros(self.sb_mi >> sy, np.uint8)
                              for _, sy in self.ss]
             for c0 in range(self.tile_mi_col_start, self.tile_mi_col_end,
@@ -394,7 +424,27 @@ class FrameDecoder:
         left_mi = (mi_row, mi_col - 1) if left else None
         return up, left, above_mi, left_mi
 
+    def ref_order_hint(self, rf: int) -> int:
+        slot = self.refs[rf] if 0 < rf < 8 else None
+        return slot["order_hint"] if slot else 0
+
     def decode_block(self, mi_row, mi_col, partition, bsize):
+        if self.frame_is_intra:
+            self._decode_block_intra_frame(mi_row, mi_col, partition, bsize)
+        else:
+            self._decode_block_inter_frame(mi_row, mi_col, partition, bsize)
+
+    def _store_mbmi(self, mbmi, mi_row, mi_col, bsize):
+        """Store the shared MbInfo + the scalar grids filters consume."""
+        bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+        r1 = min(mi_row + bh4, self.mi_rows)
+        c1 = min(mi_col + bw4, self.mi_cols)
+        self.mi[mi_row:r1, mi_col:c1] = mbmi
+        self.mi_ref0[mi_row:r1, mi_col:c1] = max(mbmi.ref_frame[0], 0)
+        self.mi_is_inter[mi_row:r1, mi_col:c1] = int(mbmi.is_inter)
+        return r1, c1
+
+    def _decode_block_intra_frame(self, mi_row, mi_col, partition, bsize):
         fc = self.fc
         dec = self.dec
         bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
@@ -419,35 +469,7 @@ class FrameDecoder:
             skip_ctx += int(self.mi_skip[left_mi])
         skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
 
-        # read_cdef (decodemv.c): per-64x64 strength literal at the first
-        # non-skip block of each CDEF unit; the value is stored on the
-        # BLOCK covering the unit's top-left mi (mbmi sharing), so with
-        # 128x128 superblocks one large block can carry several units'
-        # effective strength
-        if not self.lossless and not self.fh.allow_intrabc:
-            if (mi_row & (self.sb_mi - 1)) == 0 and \
-                    (mi_col & (self.sb_mi - 1)) == 0:
-                self.cdef_transmitted = [False] * 4
-            if self.sb_mi == 32:
-                index = int((mi_col & 16) != 0) + 2 * int((mi_row & 16) != 0)
-            else:
-                index = 0
-            if not self.cdef_transmitted[index] and not skip:
-                bits = self.fh.cdef.bits
-                v = self.dec.read_literal(bits)
-                tr, tc = mi_row & ~15, mi_col & ~15
-                if (mi_row <= tr < mi_row + bh4
-                        and mi_col <= tc < mi_col + bw4):
-                    br, bc, h4, w4 = mi_row, mi_col, bh4, bw4
-                else:  # target mi belongs to an earlier-decoded block
-                    br = int(self.mi_borigin_r[tr, tc])
-                    bc = int(self.mi_borigin_c[tr, tc])
-                    h4 = int(self.mi_bh4[tr, tc])
-                    w4 = int(self.mi_bw4[tr, tc])
-                r1 = min(br + h4, self.mi_rows)
-                c1 = min(bc + w4, self.mi_cols)
-                self.mi_cdef[br:r1, bc:c1] = v
-                self.cdef_transmitted[index] = True
+        self._read_cdef(mi_row, mi_col, bh4, bw4, skip)
 
         above_mode = (int(self.mi_mode[above_mi]) if up else
                       PredictionMode.DC_PRED)
@@ -522,6 +544,19 @@ class FrameDecoder:
                      else TS.adjusted_tx_size(int(MAX_TXSIZE_RECT[pb])))
         else:
             uv_tx = int(TxSize.TX_4X4)
+        from ..normative import mvref as MR
+        mbmi = MR.MbInfo()
+        mbmi.bsize = bsize
+        mbmi.mode = mode
+        mbmi.uv_mode = uv_mode
+        mbmi.angle_y = angle_y
+        mbmi.angle_uv = angle_uv
+        mbmi.filter_intra = filter_intra_mode
+        mbmi.skip_txfm = skip
+        mbmi.partition = partition
+        mbmi.tx_size = tx_size
+        mbmi.mi_row, mbmi.mi_col = mi_row, mi_col
+        self._store_mbmi(mbmi, mi_row, mi_col, bsize)
         r1, c1 = min(mi_row + bh4, self.mi_rows), min(mi_col + bw4,
                                                       self.mi_cols)
         self.mi_uv_tx[mi_row:r1, mi_col:c1] = uv_tx
@@ -569,6 +604,38 @@ class FrameDecoder:
                                  cfl_idx, cfl_signs, is_chroma_ref, up, left,
                                  chroma_up, chroma_left, partition)
 
+    def _read_cdef(self, mi_row, mi_col, bh4, bw4, skip):
+        """read_cdef (decodemv.c): per-64x64 strength literal at the first
+        non-skip block of each CDEF unit; the value is stored on the
+        BLOCK covering the unit's top-left mi (mbmi sharing), so with
+        128x128 superblocks one large block can carry several units'
+        effective strength."""
+        if self.lossless or self.fh.allow_intrabc:
+            return
+        if (mi_row & (self.sb_mi - 1)) == 0 and \
+                (mi_col & (self.sb_mi - 1)) == 0:
+            self.cdef_transmitted = [False] * 4
+        if self.sb_mi == 32:
+            index = int((mi_col & 16) != 0) + 2 * int((mi_row & 16) != 0)
+        else:
+            index = 0
+        if not self.cdef_transmitted[index] and not skip:
+            bits = self.fh.cdef.bits
+            v = self.dec.read_literal(bits)
+            tr, tc = mi_row & ~15, mi_col & ~15
+            if (mi_row <= tr < mi_row + bh4
+                    and mi_col <= tc < mi_col + bw4):
+                br, bc, h4, w4 = mi_row, mi_col, bh4, bw4
+            else:  # target mi belongs to an earlier-decoded block
+                br = int(self.mi_borigin_r[tr, tc])
+                bc = int(self.mi_borigin_c[tr, tc])
+                h4 = int(self.mi_bh4[tr, tc])
+                w4 = int(self.mi_bw4[tr, tc])
+            r1 = min(br + h4, self.mi_rows)
+            c1 = min(bc + w4, self.mi_cols)
+            self.mi_cdef[br:r1, bc:c1] = v
+            self.cdef_transmitted[index] = True
+
     def _cfl_allowed(self, bsize, ss_x, ss_y):
         if self.lossless:
             return get_plane_block_size(bsize, ss_x, ss_y) == \
@@ -587,6 +654,15 @@ class FrameDecoder:
         above = int(self.above_txfm[mi_col]) >= int(TX_WIDTH[max_tx])
         lval = int(self.left_txfm[mi_row & (self.sb_mi - 1)])
         leftc = lval >= int(TX_HEIGHT[max_tx])
+        # get_tx_size_context: INTER neighbors use their block dims
+        if up:
+            amb = self.mi[mi_row - 1, mi_col]
+            if amb is not None and amb.is_inter:
+                above = int(BLOCK_WIDTH[amb.bsize]) >= int(TX_WIDTH[max_tx])
+        if left:
+            lmb = self.mi[mi_row, mi_col - 1]
+            if lmb is not None and lmb.is_inter:
+                leftc = int(BLOCK_HEIGHT[lmb.bsize]) >= int(TX_HEIGHT[max_tx])
         if up and left:
             ctx = int(above) + int(leftc)
         elif up:
@@ -1034,11 +1110,718 @@ class FrameDecoder:
         return self._avail_table_bit(self.has_bl_tables, partition, bsize, idx)
 
     # ------------------------------------------------------------------
+    # Inter-frame block decode (decodemv.c read_inter_frame_mode_info +
+    # decodeframe.c parse_decode_block / decode_token_recon_block)
+    # ------------------------------------------------------------------
+    def _decode_block_inter_frame(self, mi_row, mi_col, partition, bsize):
+        from . import inter as IT
+        from ..normative import mvref as MR
+        fc = self.fc
+        bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+        up, left, above_mi, left_mi = self._neighbors(mi_row, mi_col)
+        above = self.mi[above_mi] if up else None
+        left_mb = self.mi[left_mi] if left else None
+        ss_x, ss_y = self.ss[1] if self.nplanes > 1 else (1, 1)
+        chroma_up = up
+        chroma_left = left
+        if ss_x and bw4 < 2:
+            chroma_left = mi_col - 1 > self.tile_mi_col_start
+        if ss_y and bh4 < 2:
+            chroma_up = mi_row - 1 > self.tile_mi_row_start
+        is_chroma_ref = self.nplanes > 1 and (
+            ((mi_row & 1) or not (bh4 & 1) or not ss_y)
+            and ((mi_col & 1) or not (bw4 & 1) or not ss_x))
+
+        mbmi = MR.MbInfo()
+        mbmi.bsize = bsize
+        mbmi.partition = partition
+        mbmi.mi_row, mbmi.mi_col = mi_row, mi_col
+        # the C mi grid points at this mbmi before parsing (set_offsets);
+        # _has_top_right reads the current block's partition through it
+        self.mi[mi_row, mi_col] = mbmi
+
+        # skip_mode (read_skip_mode, decodemv.c:420)
+        skip_mode = 0
+        if self.fh.skip_mode_present and int(BLOCK_WIDTH[bsize]) >= 8 \
+                and int(BLOCK_HEIGHT[bsize]) >= 8:
+            ctx = ((above.skip_mode if up else 0)
+                   + (left_mb.skip_mode if left else 0))
+            skip_mode = self._read_symbol(fc.skip_mode_cdfs[ctx], 2)
+        mbmi.skip_mode = skip_mode
+        if skip_mode:
+            skip = 1
+        else:
+            skip_ctx = ((above.skip_txfm if up else 0)
+                        + (left_mb.skip_txfm if left else 0))
+            skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
+        mbmi.skip_txfm = skip
+        self._read_cdef(mi_row, mi_col, bh4, bw4, skip)
+        if self.fh.delta_q_present:
+            raise NotImplementedError("delta q in inter frames")
+
+        # is_inter (read_is_inter_block)
+        if skip_mode:
+            is_inter_blk = 1
+        else:
+            if up and left:
+                ai, li = not above.is_inter, not left_mb.is_inter
+                ctx = 3 if (ai and li) else int(ai or li)
+            elif up or left:
+                e = above if up else left_mb
+                ctx = 2 * int(not e.is_inter)
+            else:
+                ctx = 0
+            is_inter_blk = self._read_symbol(fc.intra_inter_cdf[ctx], 2)
+
+        xd = MR.XdCtx(self.mi, mi_row, mi_col, bsize,
+                      (self.tile_mi_row_start, self.tile_mi_row_end,
+                       self.tile_mi_col_start, self.tile_mi_col_end),
+                      self.mi_rows, self.mi_cols)
+        if is_inter_blk:
+            self._read_inter_block_mode_info(mbmi, xd, above, left_mb, up,
+                                             left, is_chroma_ref)
+        else:
+            self._read_intra_block_mode_info(mbmi, is_chroma_ref, ss_x, ss_y)
+
+        # ---- tx sizes (parse_decode_block) ----
+        r1 = min(mi_row + bh4, self.mi_rows)
+        c1 = min(mi_col + bw4, self.mi_cols)
+        max_tx = int(MAX_TXSIZE_RECT[bsize])
+        if self.fh.tx_mode_select and bsize > BlockSize.BLOCK_4X4 \
+                and not skip and mbmi.is_inter and not self.lossless:
+            bh_u = int(TX_HIGH_UNIT[max_tx])
+            bw_u = int(TX_WIDE_UNIT[max_tx])
+            for idy in range(0, bh4, bh_u):
+                for idx in range(0, bw4, bw_u):
+                    self._read_tx_size_vartx(mbmi, max_tx, 0, idy, idx,
+                                             mi_row, mi_col)
+            tx_size = mbmi.tx_size
+        else:
+            if self.lossless:
+                tx_size = int(TxSize.TX_4X4)
+            elif bsize > BlockSize.BLOCK_4X4 and self.fh.tx_mode_select \
+                    and not mbmi.is_inter:
+                tx_size = self._read_selected_tx_size(bsize, mi_row, mi_col,
+                                                      up, left)
+            else:
+                tx_size = max_tx
+            mbmi.tx_size = tx_size
+            self.mi_inter_tx[mi_row:r1, mi_col:c1] = tx_size
+            # set_txfm_ctxs: skip inter blocks use the block dims
+            if skip and mbmi.is_inter:
+                tw, th = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+            else:
+                tw, th = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+            self.above_txfm[mi_col : mi_col + bw4] = tw
+            lr = mi_row & (self.sb_mi - 1)
+            self.left_txfm[lr : lr + bh4] = th
+
+        # ---- store mode info grids ----
+        if self.nplanes > 1:
+            pb = get_plane_block_size(scale_chroma_bsize(bsize, ss_x, ss_y),
+                                      ss_x, ss_y)
+            uv_tx = (int(TxSize.TX_4X4) if self.lossless
+                     else TS.adjusted_tx_size(int(MAX_TXSIZE_RECT[pb])))
+        else:
+            uv_tx = int(TxSize.TX_4X4)
+        self.mi_uv_tx[mi_row:r1, mi_col:c1] = uv_tx
+        self.mi_bsize[mi_row:r1, mi_col:c1] = bsize
+        self.mi_mode[mi_row:r1, mi_col:c1] = mbmi.mode
+        self.mi_uv_mode[mi_row:r1, mi_col:c1] = mbmi.uv_mode
+        self.mi_angle_y[mi_row:r1, mi_col:c1] = mbmi.angle_y
+        self.mi_angle_uv[mi_row:r1, mi_col:c1] = mbmi.angle_uv
+        self.mi_skip[mi_row:r1, mi_col:c1] = skip
+        self.mi_tx_size[mi_row:r1, mi_col:c1] = mbmi.tx_size
+        self.mi_filter_intra[mi_row:r1, mi_col:c1] = mbmi.filter_intra
+        self.mi_valid[mi_row:r1, mi_col:c1] = 1
+        self.mi_borigin_r[mi_row:r1, mi_col:c1] = mi_row
+        self.mi_borigin_c[mi_row:r1, mi_col:c1] = mi_col
+        self.mi_bh4[mi_row:r1, mi_col:c1] = bh4
+        self.mi_bw4[mi_row:r1, mi_col:c1] = bw4
+        self._store_mbmi(mbmi, mi_row, mi_col, bsize)
+
+        # intra-edge filter types (for intra blocks inside inter frames)
+        ab_sm = up and int(self.mi_mode[above_mi]) in (9, 10, 11)
+        le_sm = left and int(self.mi_mode[left_mi]) in (9, 10, 11)
+        ef_type_y = 1 if (ab_sm or le_sm) else 0
+        ef_type_uv = 0
+        if is_chroma_ref:
+            base_r = mi_row - (mi_row & ss_y)
+            base_c = mi_col - (mi_col & ss_x)
+            ab_sm = le_sm = False
+            if chroma_up:
+                m = int(self.mi_uv_mode[base_r - 1, base_c + ss_x])
+                v = int(self.mi_valid[base_r - 1, base_c + ss_x])
+                ab_sm = v and m in (9, 10, 11)
+            if chroma_left:
+                m = int(self.mi_uv_mode[base_r + ss_y, base_c - 1])
+                v = int(self.mi_valid[base_r + ss_y, base_c - 1])
+                le_sm = v and m in (9, 10, 11)
+            ef_type_uv = 1 if (ab_sm or le_sm) else 0
+        self.ef_types = (ef_type_y, ef_type_uv)
+
+        if skip:
+            self._reset_entropy_ctx(mi_row, mi_col, bsize, is_chroma_ref)
+
+        # ---- residual + recon ----
+        if mbmi.is_inter:
+            self._predict_inter_block(mbmi, xd, is_chroma_ref)
+            if not skip:
+                self._decode_residual_inter(mbmi, mi_row, mi_col, bsize,
+                                            is_chroma_ref)
+            # store_cfl_required: luma of non-chroma-ref blocks feeds a
+            # later chroma block's CfL
+            if self.nplanes > 1 and not is_chroma_ref:
+                self._store_cfl_inter(mbmi, mi_row, mi_col, bsize)
+        else:
+            self._decode_token_recon(
+                mi_row, mi_col, bsize, mbmi.tx_size, mbmi.mode, mbmi.uv_mode,
+                mbmi.angle_y, mbmi.angle_uv, skip, mbmi.filter_intra,
+                mbmi.cfl_idx, mbmi.cfl_signs, is_chroma_ref, up, left,
+                chroma_up, chroma_left, partition)
+
+        # av1_copy_frame_mvs (for future frames' temporal MVP)
+        if self.seq.enable_ref_frame_mvs:
+            self._copy_frame_mvs(mbmi, mi_row, mi_col, bw4, bh4)
+
+    def _read_intra_block_mode_info(self, mbmi, is_chroma_ref, ss_x, ss_y):
+        """read_intra_block_mode_info (decodemv.c:1064): intra block inside
+        an inter frame (y_mode_cdf by size group, not the kf tables)."""
+        from . import inter as IT
+        fc = self.fc
+        bsize = mbmi.bsize
+        mbmi.ref_frame = [0, -1]
+        mbmi.mode = self._read_symbol(
+            fc.y_mode_cdf[int(IT.SIZE_GROUP[bsize])], 13)
+        use_angle = bsize >= BlockSize.BLOCK_8X8
+        if use_angle and is_directional_mode(mbmi.mode):
+            mbmi.angle_y = self._read_symbol(
+                fc.angle_delta_cdf[mbmi.mode - PredictionMode.V_PRED],
+                2 * MAX_ANGLE_DELTA + 1) - MAX_ANGLE_DELTA
+        if not self.seq.monochrome and is_chroma_ref:
+            cfl_allowed = self._cfl_allowed(bsize, ss_x, ss_y)
+            mbmi.uv_mode = self._read_symbol(
+                fc.uv_mode_cdf[int(cfl_allowed)][mbmi.mode],
+                14 if cfl_allowed else 13)
+            if mbmi.uv_mode == 13:
+                signs = self._read_symbol(fc.cfl_sign_cdf, 8)
+                sign_u = ((signs + 1) * 11) >> 5
+                sign_v = (signs + 1) - 3 * sign_u
+                idx = 0
+                if sign_u != 0:
+                    idx = self._read_symbol(
+                        fc.cfl_alpha_cdf[signs + 1 - 3], 16) << 4
+                if sign_v != 0:
+                    idx += self._read_symbol(
+                        fc.cfl_alpha_cdf[sign_v * 3 + sign_u - 3], 16)
+                mbmi.cfl_idx = idx
+                mbmi.cfl_signs = signs
+            uv_dir = 0 if mbmi.uv_mode == 13 else mbmi.uv_mode
+            if use_angle and is_directional_mode(uv_dir):
+                mbmi.angle_uv = self._read_symbol(
+                    fc.angle_delta_cdf[mbmi.uv_mode - PredictionMode.V_PRED],
+                    2 * MAX_ANGLE_DELTA + 1) - MAX_ANGLE_DELTA
+        if self.fh.allow_screen_content_tools:
+            raise NotImplementedError("palette in inter frames")
+        if (self.seq.enable_filter_intra
+                and mbmi.mode == PredictionMode.DC_PRED
+                and self._filter_intra_allowed_bsize(bsize)):
+            if self._read_symbol(fc.filter_intra_cdfs[bsize], 2):
+                mbmi.filter_intra = self._read_symbol(
+                    fc.filter_intra_mode_cdf, 5)
+
+    def _read_inter_block_mode_info(self, mbmi, xd, above, left_mb, up, left,
+                                    is_chroma_ref):
+        from . import inter as IT
+        from ..normative import mvref as MR
+        fc = self.fc
+        bsize = mbmi.bsize
+        counts = IT.collect_neighbors_ref_counts(self, above, left_mb)
+        IT.read_ref_frames(self, mbmi, counts, above, left_mb, up, left)
+        is_compound = mbmi.is_compound
+        ref_frame_type = MR.av1_ref_frame_type(mbmi.ref_frame)
+        stack, weights, count, mode_ctx_val, mv_ref_list, gm_mv = \
+            MR.find_mv_refs(self, xd, mbmi, ref_frame_type)
+
+        mbmi.ref_mv_idx = 0
+        if mbmi.skip_mode:
+            mbmi.mode = MR.NEAREST_NEARESTMV
+        else:
+            if is_compound:
+                newmv_ctx = mode_ctx_val & MR.NEWMV_CTX_MASK
+                refmv_ctx = (mode_ctx_val >> MR.REFMV_OFFSET) \
+                    & MR.REFMV_CTX_MASK
+                mode_ctx = MR.COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][
+                    min(newmv_ctx, MR.COMP_NEWMV_CTXS - 1)]
+                mbmi.mode = MR.NEAREST_NEARESTMV + self._read_symbol(
+                    fc.inter_compound_mode_cdf[mode_ctx], 8)
+            else:
+                mbmi.mode = IT.read_inter_mode(self, mode_ctx_val)
+            if mbmi.mode in (MR.NEWMV, MR.NEW_NEWMV) or \
+                    MR.have_nearmv_in_inter_mode(mbmi.mode):
+                IT.read_drl_idx(self, mbmi, count, weights)
+
+        allow_hp = self.allow_high_precision_mv
+        fim = self.force_integer_mv
+        lower = lambda mv: MR.lower_mv_precision(mv, allow_hp, fim)
+        nearest_mv = [(0, 0), (0, 0)]
+        near_mv = [(0, 0), (0, 0)]
+        if not is_compound and mbmi.mode != MR.GLOBALMV:
+            lst = [lower(mv) for mv in mv_ref_list]
+            nearest_mv[0] = lst[0]
+            near_mv[0] = lst[1]
+        if is_compound and mbmi.mode != MR.GLOBAL_GLOBALMV:
+            idx = mbmi.ref_mv_idx + 1
+            nearest_mv = [lower(stack[0][0]), lower(stack[0][1])]
+            near_mv = [lower(stack[idx][0]), lower(stack[idx][1])]
+        elif mbmi.ref_mv_idx > 0 and mbmi.mode == MR.NEARMV:
+            near_mv[0] = stack[1 + mbmi.ref_mv_idx][0]
+        ref_mv = [nearest_mv[0], nearest_mv[1]]
+        if is_compound:
+            rmi = mbmi.ref_mv_idx
+            if mbmi.mode in (MR.NEAR_NEWMV, MR.NEW_NEARMV):
+                rmi += 1
+            if MR.compound_ref0_mode(mbmi.mode) == MR.NEWMV:
+                ref_mv[0] = stack[rmi][0]
+            if MR.compound_ref1_mode(mbmi.mode) == MR.NEWMV:
+                ref_mv[1] = stack[rmi][1]
+        else:
+            if mbmi.mode == MR.NEWMV and count > 1:
+                ref_mv[0] = stack[mbmi.ref_mv_idx][0]
+        precision = 0 if fim else (2 if allow_hp else 1)
+        IT.assign_mv(self, mbmi, ref_mv, nearest_mv, near_mv, gm_mv,
+                     precision)
+
+        # interintra
+        if self.seq.enable_interintra_compound and not mbmi.skip_mode \
+                and self._interintra_allowed(mbmi):
+            grp = int(IT.SIZE_GROUP[bsize])
+            if self._read_symbol(fc.interintra_cdf[grp], 2):
+                raise NotImplementedError("interintra decode")
+
+        # motion mode
+        overlappable = 0
+        if int(BLOCK_WIDTH[bsize]) >= 8 and int(BLOCK_HEIGHT[bsize]) >= 8 \
+                and not mbmi.skip_mode and not is_compound:
+            n, pts, pts_inref = MR.find_samples(self, xd, mbmi)
+            mbmi.num_proj_ref = n
+            self._warp_pts = (pts, pts_inref)
+        overlappable = IT.count_overlappable_neighbors(self, xd)
+        if mbmi.ref_frame[1] != MR.INTRA_FRAME:
+            mbmi.motion_mode = IT.read_motion_mode(self, xd, mbmi,
+                                                   overlappable)
+
+        # compound type
+        mbmi.comp_group_idx = 0
+        mbmi.compound_idx = 1
+        mbmi.comp_type = IT.COMPOUND_AVERAGE
+        if is_compound and not mbmi.skip_mode:
+            masked_ok = self.seq.enable_masked_compound and \
+                self._masked_compound_allowed(bsize)
+            if masked_ok:
+                ctx = self._comp_group_idx_ctx(above, left_mb)
+                mbmi.comp_group_idx = self._read_symbol(
+                    fc.comp_group_idx_cdf[ctx], 2)
+            if mbmi.comp_group_idx == 0:
+                if self.seq.enable_jnt_comp:
+                    ctx = self._comp_index_ctx(mbmi, above, left_mb)
+                    mbmi.compound_idx = self._read_symbol(
+                        fc.compound_index_cdf[ctx], 2)
+                    mbmi.comp_type = (IT.COMPOUND_AVERAGE if mbmi.compound_idx
+                                      else IT.COMPOUND_DISTWTD)
+                else:
+                    mbmi.compound_idx = 1
+                    mbmi.comp_type = IT.COMPOUND_AVERAGE
+            else:
+                if self._wedge_allowed(bsize):
+                    mbmi.comp_type = IT.COMPOUND_WEDGE + self._read_symbol(
+                        fc.compound_type_cdf[bsize], 2)
+                else:
+                    mbmi.comp_type = IT.COMPOUND_DIFFWTD
+                if mbmi.comp_type == IT.COMPOUND_WEDGE:
+                    mbmi.wedge_index = self._read_symbol(
+                        fc.wedge_idx_cdf[bsize], 16)
+                    mbmi.wedge_sign = self.dec.read_bit()
+                else:
+                    mbmi.mask_type = self.dec.read_literal(1)
+
+        IT.read_mb_interp_filter(self, mbmi, above, left_mb, up, left)
+
+        if mbmi.motion_mode == IT.WARPED_CAUSAL:
+            self._derive_warp_params(mbmi, xd)
+
+    def _interintra_allowed(self, mbmi):
+        bw, bh = int(BLOCK_WIDTH[mbmi.bsize]), int(BLOCK_HEIGHT[mbmi.bsize])
+        return (mbmi.ref_frame[1] == -1 and not mbmi.is_compound
+                and 8 <= bw <= 32 and 8 <= bh <= 32
+                and mbmi.ref_frame[0] > 0)
+
+    def _masked_compound_allowed(self, bsize):
+        # is_any_masked_compound_used == is_comp_ref_allowed (DIFFWTD is
+        # usable whenever compound is)
+        return min(int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])) >= 8
+
+    def _wedge_allowed(self, bsize):
+        from ..normative.enums import BlockSize as BS
+        return bsize in (BS.BLOCK_8X8, BS.BLOCK_8X16, BS.BLOCK_16X8,
+                         BS.BLOCK_16X16, BS.BLOCK_16X32, BS.BLOCK_32X16,
+                         BS.BLOCK_32X32, BS.BLOCK_8X32, BS.BLOCK_32X8)
+
+    def _comp_group_idx_ctx(self, above, left_mb):
+        ctx = 0
+        for mb in (above, left_mb):
+            if mb is not None:
+                if mb.is_compound:
+                    ctx += mb.comp_group_idx
+                elif mb.ref_frame[0] == 7:  # ALTREF
+                    ctx += 3
+        return min(5, ctx)
+
+    def _comp_index_ctx(self, mbmi, above, left_mb):
+        from ..normative import mvref as MR
+        cur = self.cur_order_hint
+        bck = self.ref_order_hint(mbmi.ref_frame[0])
+        fwd = self.ref_order_hint(mbmi.ref_frame[1])
+        d_fwd = abs(MR.get_relative_dist(self.enable_order_hint,
+                                         self.order_hint_bits, fwd, cur))
+        d_bck = abs(MR.get_relative_dist(self.enable_order_hint,
+                                         self.order_hint_bits, cur, bck))
+        offset = int(d_fwd == d_bck)
+        ctx = 0
+        for mb in (above, left_mb):
+            if mb is not None:
+                if mb.is_compound:
+                    ctx += mb.compound_idx
+                elif mb.ref_frame[0] == 7:
+                    ctx += 1
+        return ctx + 3 * offset
+
+    def _derive_warp_params(self, mbmi, xd):
+        raise NotImplementedError("warped-causal decode")
+
+    def _derive_warp_params_todo(self, mbmi, xd):
+        """WARPED_CAUSAL model fit (read_inter_block_mode_info tail)."""
+        from ..normative import mvref as MR
+        from ..ops.warp import get_shear_params
+        pts, pts_inref = self._warp_pts
+        if mbmi.num_proj_ref > 1:
+            n, pts, pts_inref = MR.select_samples(mbmi.mv[0], pts, pts_inref,
+                                                  mbmi.bsize)
+            mbmi.num_proj_ref = n
+        wm = MR.WarpModel()
+        wm.wmtype = MR.ROTZOOM  # DEFAULT_WMTYPE
+        ok = _find_projection(mbmi.num_proj_ref, pts, pts_inref, mbmi.bsize,
+                              mbmi.mv[0], wm, xd.mi_row, xd.mi_col)
+        if not ok or not get_shear_params(wm):
+            wm.invalid = True
+        mbmi.wm_params = wm
+
+    def _read_tx_size_vartx(self, mbmi, tx_size, depth, blk_row, blk_col,
+                            mi_row, mi_col):
+        """read_tx_size_vartx (decodeframe.c)."""
+        bsize = mbmi.bsize
+        max_h4 = min(int(MI_H[bsize]), self.mi_rows - mi_row)
+        max_w4 = min(int(MI_W[bsize]), self.mi_cols - mi_col)
+        if blk_row >= max_h4 or blk_col >= max_w4:
+            return
+        lr = mi_row & (self.sb_mi - 1)
+
+        def set_size(ts, txb_size):
+            bs2 = int(TXSIZE_TO_BSIZE[txb_size])
+            h4 = int(MI_H[bs2])
+            w4 = int(MI_W[bs2])
+            r0 = mi_row + blk_row
+            c0 = mi_col + blk_col
+            self.mi_inter_tx[r0 : min(r0 + h4, self.mi_rows),
+                             c0 : min(c0 + w4, self.mi_cols)] = ts
+            mbmi.tx_size = ts
+            # txfm_partition_update
+            self.above_txfm[c0 : c0 + w4] = int(TX_WIDTH[ts])
+            self.left_txfm[lr + blk_row : lr + blk_row + h4] = \
+                int(TX_HEIGHT[ts])
+
+        MAX_VARTX_DEPTH = 2
+        if depth == MAX_VARTX_DEPTH:
+            set_size(tx_size, tx_size)
+            return
+        # txfm_partition_context
+        txw = int(TX_WIDTH[tx_size])
+        txh = int(TX_HEIGHT[tx_size])
+        above = int(self.above_txfm[mi_col + blk_col]) < txw
+        leftv = int(self.left_txfm[lr + blk_row]) < txh
+        max_dim = max(int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize]))
+        max_sq_tx = {128: 4, 64: 4, 32: 3, 16: 2, 8: 1}.get(max_dim, 0)
+        category = (int(int(TXSIZE_SQR_UP[tx_size]) != max_sq_tx
+                        and max_sq_tx > 1)
+                    + (5 - 1 - max_sq_tx) * 2)
+        ctx = category * 3 + above + leftv
+        is_split = self._read_symbol(self.fc.txfm_partition_cdf[ctx], 2)
+        if is_split:
+            sub_txs = int(SUB_TX_SIZE_MAP[tx_size])
+            if sub_txs == TxSize.TX_4X4:
+                set_size(sub_txs, tx_size)
+                return
+            bsw = int(TX_WIDE_UNIT[sub_txs])
+            bsh = int(TX_HIGH_UNIT[sub_txs])
+            for row in range(0, int(TX_HIGH_UNIT[tx_size]), bsh):
+                for col in range(0, int(TX_WIDE_UNIT[tx_size]), bsw):
+                    self._read_tx_size_vartx(mbmi, sub_txs, depth + 1,
+                                             blk_row + row, blk_col + col,
+                                             mi_row, mi_col)
+        else:
+            set_size(tx_size, tx_size)
+
+    # ------------------------------------------------------------------
+    def _predict_inter_block(self, mbmi, xd, is_chroma_ref):
+        """av1_predict_inter_block: MC prediction for all planes."""
+        from . import inter as IT
+        mi_row, mi_col = mbmi.mi_row, mbmi.mi_col
+        for plane in range(self.nplanes):
+            if plane and not is_chroma_ref:
+                break
+            sx, sy = self.ss[plane]
+            dst_x = (mi_col * 4) >> sx
+            dst_y = (mi_row * 4) >> sy
+            IT.build_inter_predictors(self, xd, mbmi, plane,
+                                      self.planes[plane], dst_x, dst_y)
+        if mbmi.motion_mode == IT.OBMC_CAUSAL:
+            self._obmc_prediction(mbmi, xd, is_chroma_ref)
+
+    def _obmc_prediction(self, mbmi, xd, is_chroma_ref):
+        raise NotImplementedError("OBMC recon")
+
+    def _store_cfl_inter(self, mbmi, mi_row, mi_col, bsize):
+        """cfl_store_inter_block: keep the luma recon of non-chroma-ref
+        blocks for a later chroma block's CfL."""
+        x = mi_col * 4
+        y = mi_row * 4
+        bw = int(BLOCK_WIDTH[bsize])
+        bh = int(BLOCK_HEIGHT[bsize])
+        row, col = 0, 0
+        if (mi_row & 1) and self.cfl.ss_y and bh == 4:
+            row = 1
+        if (mi_col & 1) and self.cfl.ss_x and bw == 4:
+            col = 1
+        buf = self.planes[0]
+        luma = buf[y : y + bh, x : x + bw]
+        self.cfl.store(luma.astype(np.int32), row, col)
+
+    def _decode_residual_inter(self, mbmi, mi_row, mi_col, bsize,
+                               is_chroma_ref):
+        """decode_token_recon_block inter branch: per-64x64 unit, per-plane
+        residual tree walk over the var-tx sizes."""
+        max_w4 = min(int(MI_W[bsize]), self.mi_cols - mi_col)
+        max_h4 = min(int(MI_H[bsize]), self.mi_rows - mi_row)
+        mu_w = min(16, max_w4)
+        mu_h = min(16, max_h4)
+        for row in range(0, max_h4, mu_h):
+            for col in range(0, max_w4, mu_w):
+                for plane in range(self.nplanes):
+                    if plane and not is_chroma_ref:
+                        break
+                    sx, sy = self.ss[plane]
+                    pb = bsize if plane == 0 else get_plane_block_size(
+                        scale_chroma_bsize(bsize, sx, sy), sx, sy)
+                    if plane == 0:
+                        max_tx = int(MAX_TXSIZE_RECT[pb])
+                    else:
+                        max_tx = TS.adjusted_tx_size(
+                            int(MAX_TXSIZE_RECT[pb]))
+                    stepr = int(TX_HIGH_UNIT[max_tx])
+                    stepc = int(TX_WIDE_UNIT[max_tx])
+                    unit_h = (min(mu_h + row, max_h4) + sy) >> sy
+                    unit_w = (min(mu_w + col, max_w4) + sx) >> sx
+                    for br in range(row >> sy, unit_h, stepr):
+                        for bc in range(col >> sx, unit_w, stepc):
+                            self._recon_tx_tree(mbmi, mi_row, mi_col, plane,
+                                                pb, br, bc, max_tx)
+
+    def _recon_tx_tree(self, mbmi, mi_row, mi_col, plane, plane_bsize,
+                       blk_row, blk_col, tx_size):
+        """decode_reconstruct_tx: descend to coded tx sizes, then read +
+        inverse-transform the residual onto the MC prediction."""
+        sx, sy = self.ss[plane]
+        max_h4 = min(int(MI_H[plane_bsize]) if plane == 0 else 0, 0)
+        # max block units for this plane
+        mw4 = min(int(MI_W[mbmi.bsize]), self.mi_cols - mi_col)
+        mh4 = min(int(MI_H[mbmi.bsize]), self.mi_rows - mi_row)
+        max_w_u = (mw4 + sx) >> sx
+        max_h_u = (mh4 + sy) >> sy
+        del max_h4
+        if blk_row >= max_h_u or blk_col >= max_w_u:
+            return
+        if plane:
+            plane_tx = TS.adjusted_tx_size(
+                int(MAX_TXSIZE_RECT[plane_bsize]))
+            if self.lossless:
+                plane_tx = int(TxSize.TX_4X4)
+        else:
+            plane_tx = int(self.mi_inter_tx[mi_row + blk_row,
+                                            mi_col + blk_col])
+        if tx_size == plane_tx or plane:
+            self._inter_txb(mbmi, mi_row, mi_col, plane, plane_bsize,
+                            blk_row, blk_col, plane_tx if plane else tx_size)
+        else:
+            sub_txs = int(SUB_TX_SIZE_MAP[tx_size])
+            bsw = int(TX_WIDE_UNIT[sub_txs])
+            bsh = int(TX_HIGH_UNIT[sub_txs])
+            row_end = min(int(TX_HIGH_UNIT[tx_size]), max_h_u - blk_row)
+            col_end = min(int(TX_WIDE_UNIT[tx_size]), max_w_u - blk_col)
+            for r in range(0, row_end, bsh):
+                for c in range(0, col_end, bsw):
+                    self._recon_tx_tree(mbmi, mi_row, mi_col, plane,
+                                        plane_bsize, blk_row + r,
+                                        blk_col + c, sub_txs)
+
+    def _read_tx_type_inter(self, tx_size):
+        """av1_read_tx_type inter branch."""
+        from ..normative.blocks import EXT_TX_SET_INDEX_INTER
+        if self.fh.quant.base_q_idx == 0:
+            return 0
+        set_type = self._ext_tx_set_type_inter(tx_size)
+        if int(NUM_EXT_TX_SET[set_type]) <= 1:
+            return 0
+        eset = EXT_TX_SET_INDEX_INTER[set_type]
+        sqr = int(TXSIZE_SQR[tx_size])
+        sym = self._read_symbol(self.fc.inter_ext_tx_cdf[eset][sqr],
+                                int(NUM_EXT_TX_SET[set_type]))
+        return int(EXT_TX_INV[set_type][sym])
+
+    def _ext_tx_set_type_inter(self, tx_size):
+        sqr_up = int(TXSIZE_SQR_UP[tx_size])
+        if sqr_up > TxSize.TX_32X32:
+            return 0  # DCTONLY
+        if sqr_up == TxSize.TX_32X32:
+            return 1  # DCT_IDTX
+        if self.fh.reduced_tx_set:
+            return 1
+        sqr = int(TXSIZE_SQR[tx_size])
+        return 4 if sqr == TxSize.TX_16X16 else 5
+
+    def _inter_txb(self, mbmi, mi_row, mi_col, plane, plane_bsize, blk_row,
+                   blk_col, tx_size):
+        """Read one inter residual tx block and reconstruct in place."""
+        fc = self.fc
+        sx, sy = self.ss[plane]
+        skip = 0
+        wu = int(TX_WIDE_UNIT[tx_size])
+        hu = int(TX_HIGH_UNIT[tx_size])
+        ac = self.above_ent[plane]
+        lc = self.left_ent[plane]
+        acol = (mi_col >> sx) + blk_col
+        lrow = ((mi_row & (self.sb_mi - 1)) >> sy) + blk_row
+        skip_ctx, sign_ctx = C.get_txb_ctx(
+            plane_bsize, tx_size, plane, ac[acol : acol + wu],
+            lc[lrow : lrow + hu])
+        tx_type_holder = [0]
+
+        def read_tx_type():
+            tt = self._read_tx_type_inter(tx_size)
+            tx_type_holder[0] = tt
+            return tt
+
+        if plane == 0:
+            coeff, eob, cul = C.read_coeffs_txb(
+                self.dec, fc, tx_size, 0, plane, skip_ctx, sign_ctx,
+                read_tx_type_fn=read_tx_type)
+            tx_type = tx_type_holder[0] if eob else 0
+            self.tx_type_map[mi_row + blk_row, mi_col + blk_col] = tx_type
+            # update_txk_array (blockd.h:1259): 64-dim transforms cover all
+            # 16x16 units so sub-sampled chroma lookups see the type
+            if wu == 16 or hu == 16:
+                for idy in range(0, hu, 4):
+                    for idx in range(0, wu, 4):
+                        rr = min(mi_row + blk_row + idy, self.mi_rows - 1)
+                        cc = min(mi_col + blk_col + idx, self.mi_cols - 1)
+                        self.tx_type_map[rr, cc] = tx_type
+        else:
+            # inter chroma tx type: follows the co-located luma tx type when
+            # luma tx is >= the chroma tx (av1_get_tx_type: inter uses the
+            # luma tx_type_map entry at the chroma position)
+            base_r = mi_row + (blk_row << sy)
+            base_c = mi_col + (blk_col << sx)
+            tx_type = int(self.tx_type_map[min(base_r, self.mi_rows - 1),
+                                           min(base_c, self.mi_cols - 1)])
+            if self.lossless or int(TXSIZE_SQR_UP[tx_size]) > TxSize.TX_32X32:
+                tx_type = 0
+            else:
+                set_type = self._ext_tx_set_type_inter(tx_size)
+                if not (int(EXT_TX_USED_FLAG[set_type]) >> tx_type) & 1:
+                    tx_type = 0
+            coeff, eob, cul = C.read_coeffs_txb(
+                self.dec, fc, tx_size, tx_type, plane, skip_ctx, sign_ctx)
+        # entropy ctx update with frame-edge clipping
+        bw_px = int(BLOCK_WIDTH[plane_bsize])
+        bh_px = int(BLOCK_HEIGHT[plane_bsize])
+        over_x = ((self.mi_cols - (mi_col + int(MI_W[mbmi.bsize]))) * 4) >> sx
+        over_y = ((self.mi_rows - (mi_row + int(MI_H[mbmi.bsize]))) * 4) >> sy
+        vis_w = (bw_px + min(over_x, 0)) >> 2
+        vis_h = (bh_px + min(over_y, 0)) >> 2
+        nw = max(0, min(wu, vis_w - blk_col))
+        nh = max(0, min(hu, vis_h - blk_row))
+        ac[acol : acol + nw] = cul
+        ac[acol + nw : acol + wu] = 0
+        lc[lrow : lrow + nh] = cul
+        lc[lrow + nh : lrow + hu] = 0
+        del skip
+        if eob <= 0:
+            return
+        x = ((mi_col >> sx) << 2) + (blk_col << 2)
+        y = ((mi_row >> sy) << 2) + (blk_row << 2)
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        buf = self.planes[plane]
+        pred = buf[y : y + txh, x : x + txw]
+        dq = self._dequant(coeff, plane, tx_size, tx_type)
+        if self.lossless:
+            rec = txfm_ops.iwht4x4_add(dq[None], pred[None, :4, :4],
+                                       bd=self.bd)[0]
+        else:
+            ts_adj = TS.adjusted_tx_size(tx_size)
+            cw = int(TX_WIDTH[ts_adj])
+            ch = int(TX_HEIGHT[ts_adj])
+            full = np.zeros((txw, txh), np.int32)
+            full[:cw, :ch] = dq.reshape(cw, ch)
+            rec = txfm_ops.inv_txfm2d_add(full[None], pred[None], tx_size,
+                                          tx_type, bd=self.bd)[0]
+        vh = min(txh, buf.shape[0] - y)
+        vw = min(txw, buf.shape[1] - x)
+        buf[y : y + vh, x : x + vw] = rec[:vh, :vw]
+
+    def _copy_frame_mvs(self, mbmi, mi_row, mi_col, bw4, bh4):
+        """av1_copy_frame_mvs: store one MV per 8x8 for temporal MVP."""
+        from ..normative import mvref as MR
+        x0 = mi_col >> 1
+        y0 = mi_row >> 1
+        xm = (min(bw4, self.mi_cols - mi_col) + 1) >> 1
+        ym = (min(bh4, self.mi_rows - mi_row) + 1) >> 1
+        ref = -1
+        mv = (0, 0)
+        if mbmi.is_inter:
+            for idx in range(2):
+                rf = mbmi.ref_frame[idx]
+                if rf > MR.INTRA_FRAME:
+                    if self.ref_frame_side[rf]:
+                        continue
+                    if abs(mbmi.mv[idx][0]) > MR.REFMVS_LIMIT or \
+                            abs(mbmi.mv[idx][1]) > MR.REFMVS_LIMIT:
+                        continue
+                    ref = rf
+                    mv = mbmi.mv[idx]
+        self.frame_mvs_ref[y0 : y0 + ym, x0 : x0 + xm] = ref
+        self.frame_mvs[y0 : y0 + ym, x0 : x0 + xm] = mv
+
+    # ------------------------------------------------------------------
     def apply_loop_filter(self):
         from ..ops import deblock
-        info = deblock.DeblockInfo(self.mi_tx_size, self.mi_bsize,
-                                   self.mi_skip, np.zeros_like(self.mi_skip),
-                                   self.mi_rows, self.mi_cols)
+        # luma tx grid: per-4x4 var-tx sizes for inter frames (mi_inter_tx is
+        # also filled with the coded size for intra/skip blocks there)
+        tx_grid = self.mi_tx_size if self.frame_is_intra else self.mi_inter_tx
+        info = deblock.DeblockInfo(tx_grid, self.mi_bsize,
+                                   self.mi_skip, self.mi_is_inter,
+                                   self.mi_rows, self.mi_cols,
+                                   mi_ref0=self.mi_ref0, mi_mode=self.mi_mode,
+                                   mi_borigin_r=self.mi_borigin_r,
+                                   mi_borigin_c=self.mi_borigin_c)
         for p in range(self.nplanes):
             deblock.loop_filter_plane(self.planes[p], p, info, self.fh,
                                       self.seq, uv_tx_grid=self.mi_uv_tx)

@@ -1,0 +1,676 @@
+"""Inter-frame mode parse and motion-compensated reconstruction.
+
+Reimplements the decoder side of inter coding: ``av1/decoder/decodemv.c``
+(read_inter_block_mode_info :1272, read_ref_frames :937, assign_mv :1113,
+read_mv :885), ``av1/common/pred_common.c`` (neighbor-count reference
+contexts), and ``av1/common/reconinter_template.inc`` (sub8x8 + 8x8-and-
+bigger predictor builds) wired onto the batched subpel convolve kernels in
+``ops/convolve`` / ``ops/compound``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..normative import mvref as MR
+from ..normative.blocks import MI_W, MI_H, get_plane_block_size
+from ..normative.enums import BLOCK_WIDTH, BLOCK_HEIGHT
+from ..ops import convolve as CONV
+from ..ops import compound as COMP
+
+SWITCHABLE_FILTERS = 3
+SWITCHABLE = 4
+INTER_FILTER_COMP_OFFSET = SWITCHABLE_FILTERS + 1
+INTER_FILTER_DIR_OFFSET = (SWITCHABLE_FILTERS + 1) * 2
+
+# size_group_lookup (blockd.h)
+SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+                       0, 0, 1, 1, 2, 2], np.int32)
+
+MV_JOINTS = 4
+MV_CLASSES = 11
+CLASS0_BITS = 1
+CLASS0_SIZE = 1 << CLASS0_BITS
+MV_FP_SIZE = 4
+
+SIMPLE_TRANSLATION, OBMC_CAUSAL, WARPED_CAUSAL = 0, 1, 2
+COMPOUND_AVERAGE, COMPOUND_DISTWTD, COMPOUND_WEDGE, COMPOUND_DIFFWTD = \
+    0, 1, 2, 3
+
+
+def is_inter(mb) -> bool:
+    return mb is not None and mb.is_inter
+
+
+def collect_neighbors_ref_counts(dec, above, left):
+    counts = np.zeros(8, np.int32)
+    for mb in (above, left):
+        if mb is not None and mb.is_inter:
+            counts[mb.ref_frame[0]] += 1
+            if mb.ref_frame[1] > MR.INTRA_FRAME:
+                counts[mb.ref_frame[1]] += 1
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# Reference-frame contexts (pred_common.c)
+# ---------------------------------------------------------------------------
+
+def _is_bwd(rf):
+    return MR.BWDREF_FRAME <= rf <= MR.ALTREF_FRAME
+
+
+def _has_uni_comp(mb):
+    return mb.ref_frame[1] > MR.INTRA_FRAME and not (
+        mb.ref_frame[0] < MR.BWDREF_FRAME
+        and mb.ref_frame[1] >= MR.BWDREF_FRAME)
+
+
+def reference_mode_context(above, left, up, lf):
+    if up and lf:
+        a2, l2 = above.is_compound, left.is_compound
+        if not a2 and not l2:
+            return int(_is_bwd(above.ref_frame[0]) ^ _is_bwd(left.ref_frame[0]))
+        if not a2:
+            return 2 + int(_is_bwd(above.ref_frame[0]) or not above.is_inter)
+        if not l2:
+            return 2 + int(_is_bwd(left.ref_frame[0]) or not left.is_inter)
+        return 4
+    if up or lf:
+        e = above if up else left
+        if not e.is_compound:
+            return int(_is_bwd(e.ref_frame[0]))
+        return 3
+    return 1
+
+
+def comp_reference_type_context(above, left, up, lf):
+    if up and lf:
+        ai, li = not above.is_inter, not left.is_inter
+        if ai and li:
+            return 2
+        if ai or li:
+            inter = left if ai else above
+            if not inter.is_compound:
+                return 2
+            return 1 + 2 * int(_has_uni_comp(inter))
+        a_sg = not above.is_compound
+        l_sg = not left.is_compound
+        frfa, frfl = above.ref_frame[0], left.ref_frame[0]
+        if a_sg and l_sg:
+            return 1 + 2 * int(not (_is_bwd(frfa) ^ _is_bwd(frfl)))
+        if l_sg or a_sg:
+            uni = _has_uni_comp(left) if a_sg else _has_uni_comp(above)
+            if not uni:
+                return 1
+            return 3 + int(not (_is_bwd(frfa) ^ _is_bwd(frfl)))
+        au, lu = _has_uni_comp(above), _has_uni_comp(left)
+        if not au and not lu:
+            return 0
+        if not au or not lu:
+            return 2
+        return 3 + int(not ((frfa == MR.BWDREF_FRAME)
+                            ^ (frfl == MR.BWDREF_FRAME)))
+    if up or lf:
+        e = above if up else left
+        if not e.is_inter:
+            return 2
+        if not e.is_compound:
+            return 2
+        return 4 * int(_has_uni_comp(e))
+    return 2
+
+
+def _vote(a, b):
+    return 1 if a == b else (0 if a < b else 2)
+
+
+def ctx_single_p1(c):
+    fwd = c[1] + c[2] + c[3] + c[4]
+    bwd = c[5] + c[6] + c[7]
+    return _vote(fwd, bwd)
+
+
+def ctx_brfarf2_or_arf(c):
+    return _vote(c[5] + c[6], c[7])
+
+
+def ctx_ll2_or_l3gld(c):
+    return _vote(c[1] + c[2], c[3] + c[4])
+
+
+def ctx_last_or_last2(c):
+    return _vote(c[1], c[2])
+
+
+def ctx_last3_or_gld(c):
+    return _vote(c[3], c[4])
+
+
+def ctx_brf_or_arf2(c):
+    return _vote(c[5], c[6])
+
+
+def ctx_uni_p(c):
+    return _vote(c[1] + c[2] + c[3] + c[4], c[5] + c[6] + c[7])
+
+
+def ctx_uni_p1(c):
+    return _vote(c[2], c[3] + c[4])
+
+
+def ctx_uni_p2(c):
+    return _vote(c[3], c[4])
+
+
+# ---------------------------------------------------------------------------
+# Mode-info reads
+# ---------------------------------------------------------------------------
+
+def read_ref_frames(dec, mbmi, counts, above, left, up, lf):
+    """read_ref_frames (decodemv.c:937)."""
+    fc = dec.fc
+    rd = dec._read_symbol
+    if mbmi.skip_mode:
+        p = dec.fh.skip_mode_frames
+        mbmi.ref_frame = [MR.LAST_FRAME + p[0], MR.LAST_FRAME + p[1]]
+        return
+    bw, bh = int(BLOCK_WIDTH[mbmi.bsize]), int(BLOCK_HEIGHT[mbmi.bsize])
+    comp_allowed = bw >= 8 and bh >= 8
+    if dec.fh.reference_select and comp_allowed:
+        ctx = reference_mode_context(above, left, up, lf)
+        comp = rd(fc.comp_inter_cdf[ctx], 2)
+    else:
+        comp = 0
+    if comp:
+        ctx = comp_reference_type_context(above, left, up, lf)
+        uni = rd(fc.comp_ref_type_cdf[ctx], 2) == 0
+        if uni:
+            if rd(fc.uni_comp_ref_cdf[ctx_uni_p(counts)][0], 2):
+                mbmi.ref_frame = [MR.BWDREF_FRAME, MR.ALTREF_FRAME]
+            elif rd(fc.uni_comp_ref_cdf[ctx_uni_p1(counts)][1], 2):
+                if rd(fc.uni_comp_ref_cdf[ctx_uni_p2(counts)][2], 2):
+                    mbmi.ref_frame = [MR.LAST_FRAME, MR.GOLDEN_FRAME]
+                else:
+                    mbmi.ref_frame = [MR.LAST_FRAME, MR.LAST3_FRAME]
+            else:
+                mbmi.ref_frame = [MR.LAST_FRAME, MR.LAST2_FRAME]
+            return
+        if rd(fc.comp_ref_cdf[ctx_ll2_or_l3gld(counts)][0], 2) == 0:
+            r0 = (MR.LAST2_FRAME
+                  if rd(fc.comp_ref_cdf[ctx_last_or_last2(counts)][1], 2)
+                  else MR.LAST_FRAME)
+        else:
+            r0 = (MR.GOLDEN_FRAME
+                  if rd(fc.comp_ref_cdf[ctx_last3_or_gld(counts)][2], 2)
+                  else MR.LAST3_FRAME)
+        if rd(fc.comp_bwdref_cdf[ctx_brfarf2_or_arf(counts)][0], 2) == 0:
+            r1 = (MR.ALTREF2_FRAME
+                  if rd(fc.comp_bwdref_cdf[ctx_brf_or_arf2(counts)][1], 2)
+                  else MR.BWDREF_FRAME)
+        else:
+            r1 = MR.ALTREF_FRAME
+        mbmi.ref_frame = [r0, r1]
+        return
+    # single
+    if rd(fc.single_ref_cdf[ctx_single_p1(counts)][0], 2):
+        if not rd(fc.single_ref_cdf[ctx_brfarf2_or_arf(counts)][1], 2):
+            r0 = (MR.ALTREF2_FRAME
+                  if rd(fc.single_ref_cdf[ctx_brf_or_arf2(counts)][5], 2)
+                  else MR.BWDREF_FRAME)
+        else:
+            r0 = MR.ALTREF_FRAME
+    else:
+        if rd(fc.single_ref_cdf[ctx_ll2_or_l3gld(counts)][2], 2):
+            r0 = (MR.GOLDEN_FRAME
+                  if rd(fc.single_ref_cdf[ctx_last3_or_gld(counts)][4], 2)
+                  else MR.LAST3_FRAME)
+        else:
+            r0 = (MR.LAST2_FRAME
+                  if rd(fc.single_ref_cdf[ctx_last_or_last2(counts)][3], 2)
+                  else MR.LAST_FRAME)
+    mbmi.ref_frame = [r0, MR.NONE_FRAME]
+
+
+def read_inter_mode(dec, mode_ctx):
+    fc = dec.fc
+    ctx = mode_ctx & MR.NEWMV_CTX_MASK
+    if dec._read_symbol(fc.newmv_cdf[ctx], 2) == 0:
+        return MR.NEWMV
+    ctx = (mode_ctx >> MR.GLOBALMV_OFFSET) & MR.GLOBALMV_CTX_MASK
+    if dec._read_symbol(fc.zeromv_cdf[ctx], 2) == 0:
+        return MR.GLOBALMV
+    ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
+    if dec._read_symbol(fc.refmv_cdf[ctx], 2) == 0:
+        return MR.NEARESTMV
+    return MR.NEARMV
+
+
+def read_drl_idx(dec, mbmi, ref_mv_count, weights):
+    fc = dec.fc
+    mbmi.ref_mv_idx = 0
+    if mbmi.mode in (MR.NEWMV, MR.NEW_NEWMV):
+        for idx in range(2):
+            if ref_mv_count > idx + 1:
+                ctx = MR.drl_ctx(weights, idx)
+                drl = dec._read_symbol(fc.drl_cdf[ctx], 2)
+                mbmi.ref_mv_idx = idx + drl
+                if not drl:
+                    return
+    if MR.have_nearmv_in_inter_mode(mbmi.mode):
+        for idx in range(1, 3):
+            if ref_mv_count > idx + 1:
+                ctx = MR.drl_ctx(weights, idx)
+                drl = dec._read_symbol(fc.drl_cdf[ctx], 2)
+                mbmi.ref_mv_idx = idx + drl - 1
+                if not drl:
+                    return
+
+
+def read_mv_component(dec, comp: int, use_subpel, usehp):
+    """read_mv_component (decodemv.c:845). comp: 0 = row, 1 = col."""
+    fc = dec.fc
+    rd = dec._read_symbol
+    g = lambda name: getattr(fc, f"nmv_comp{comp}_{name}_cdf")
+    sign = rd(g("sign"), 2)
+    mv_class = rd(g("classes"), MV_CLASSES)
+    class0 = mv_class == 0
+    if class0:
+        d = rd(g("class0"), CLASS0_SIZE)
+        mag = 0
+    else:
+        n = mv_class + CLASS0_BITS - 1
+        d = 0
+        bits_cdf = g("bits")
+        for i in range(n):
+            d |= rd(bits_cdf[i], 2) << i
+        mag = CLASS0_SIZE << (mv_class + 2)
+    if use_subpel:
+        fr = rd(g("class0_fp")[d] if class0 else g("fp"), MV_FP_SIZE)
+        hp = rd(g("class0_hp") if class0 else g("hp"), 2) if usehp else 1
+    else:
+        fr = 3
+        hp = 1
+    mag += ((d << 3) | (fr << 1) | hp) + 1
+    return -mag if sign else mag
+
+
+def read_mv(dec, ref_mv, precision):
+    """precision: 0=int only, 1=low (no hp), 2=subpel+hp."""
+    fc = dec.fc
+    joint = dec._read_symbol(fc.nmv_joints_cdf, MV_JOINTS)
+    dr = dc = 0
+    if joint in (2, 3):  # vertical component present
+        dr = read_mv_component(dec, 0, precision > 0, precision > 1)
+    if joint in (1, 3):
+        dc = read_mv_component(dec, 1, precision > 0, precision > 1)
+    return (ref_mv[0] + dr, ref_mv[1] + dc)
+
+
+def assign_mv(dec, mbmi, ref_mv, nearest_mv, near_mv, gm_mv, precision):
+    mode = mbmi.mode
+    if mode == MR.NEWMV:
+        mbmi.mv[0] = read_mv(dec, ref_mv[0], precision)
+    elif mode == MR.NEARESTMV:
+        mbmi.mv[0] = nearest_mv[0]
+    elif mode == MR.NEARMV:
+        mbmi.mv[0] = near_mv[0]
+    elif mode == MR.GLOBALMV:
+        mbmi.mv[0] = gm_mv[0]
+    elif mode == MR.NEW_NEWMV:
+        mbmi.mv[0] = read_mv(dec, ref_mv[0], precision)
+        mbmi.mv[1] = read_mv(dec, ref_mv[1], precision)
+    elif mode == MR.NEAREST_NEARESTMV:
+        mbmi.mv = [nearest_mv[0], nearest_mv[1]]
+    elif mode == MR.NEAR_NEARMV:
+        mbmi.mv = [near_mv[0], near_mv[1]]
+    elif mode == MR.NEW_NEARESTMV:
+        mbmi.mv[0] = read_mv(dec, ref_mv[0], precision)
+        mbmi.mv[1] = nearest_mv[1]
+    elif mode == MR.NEAREST_NEWMV:
+        mbmi.mv[0] = nearest_mv[0]
+        mbmi.mv[1] = read_mv(dec, ref_mv[1], precision)
+    elif mode == MR.NEAR_NEWMV:
+        mbmi.mv[0] = near_mv[0]
+        mbmi.mv[1] = read_mv(dec, ref_mv[1], precision)
+    elif mode == MR.NEW_NEARMV:
+        mbmi.mv[0] = read_mv(dec, ref_mv[0], precision)
+        mbmi.mv[1] = near_mv[1]
+    elif mode == MR.GLOBAL_GLOBALMV:
+        mbmi.mv = [gm_mv[0], gm_mv[1]]
+    else:
+        raise AssertionError(f"bad inter mode {mode}")
+
+
+def switchable_interp_ctx(dec, mbmi, above, left, up, lf, direction):
+    """av1_get_pred_context_switchable_interp (pred_common.c:30)."""
+    ctx_offset = int(mbmi.ref_frame[1] > MR.INTRA_FRAME) \
+        * INTER_FILTER_COMP_OFFSET
+    ref_frame = mbmi.ref_frame[0]
+
+    def ref_filter_type(mb):
+        if mb.ref_frame[0] == ref_frame or mb.ref_frame[1] == ref_frame:
+            return mb.interp_x if (direction & 1) else mb.interp_y
+        return SWITCHABLE_FILTERS
+
+    left_type = ref_filter_type(left) if lf else SWITCHABLE_FILTERS
+    above_type = ref_filter_type(above) if up else SWITCHABLE_FILTERS
+    ctx = ctx_offset + (direction & 1) * INTER_FILTER_DIR_OFFSET
+    if left_type == above_type:
+        return ctx + left_type
+    if left_type == SWITCHABLE_FILTERS:
+        return ctx + above_type
+    if above_type == SWITCHABLE_FILTERS:
+        return ctx + left_type
+    return ctx + SWITCHABLE_FILTERS
+
+
+def is_interp_needed(dec, mbmi):
+    """av1_is_interp_needed: SKIP when all MVs are full-pel and...
+    (reconinter.c): not needed for GLOBALMV with warp, or integer mvs."""
+    if mbmi.motion_mode == WARPED_CAUSAL:
+        return False
+    if MR.is_global_mv_block(
+            mbmi, dec.global_motion[mbmi.ref_frame[0]].wmtype):
+        return False
+    return True
+
+
+def read_mb_interp_filter(dec, mbmi, above, left, up, lf):
+    fh = dec.fh
+    if not is_interp_needed(dec, mbmi):
+        mbmi.interp_y = mbmi.interp_x = (
+            0 if fh.interp_filter == SWITCHABLE else fh.interp_filter)
+        return
+    if fh.interp_filter != SWITCHABLE:
+        mbmi.interp_y = mbmi.interp_x = fh.interp_filter
+        return
+    filters = [0, 0]
+    for direction in range(2):
+        ctx = switchable_interp_ctx(dec, mbmi, above, left, up, lf, direction)
+        filters[direction] = dec._read_symbol(
+            dec.fc.switchable_interp_cdf[ctx], SWITCHABLE_FILTERS)
+        if not dec.seq.enable_dual_filter:
+            filters[1] = filters[0]
+            break
+    mbmi.interp_y = filters[0]  # vertical
+    mbmi.interp_x = filters[1]  # horizontal
+
+
+def count_overlappable_neighbors(dec, xd):
+    """av1_count_overlappable_neighbors + obmc.h iterators."""
+    count = 0
+    if xd.up_available:
+        end_col = min(xd.mi_col + xd.width, dec.mi_cols)
+        col = xd.mi_col
+        while col < end_col:
+            mb = xd.mi[xd.mi_row - 1, col]
+            step = min(int(MI_W[mb.bsize]), 16)
+            if step == 1:
+                col &= ~1
+                mb = xd.mi[xd.mi_row - 1, col + 1]
+                step = 2
+            if mb.is_inter:
+                count += 1
+            col += step
+    if count:
+        return count
+    if xd.left_available:
+        end_row = min(xd.mi_row + xd.height, dec.mi_rows)
+        row = xd.mi_row
+        while row < end_row:
+            mb = xd.mi[row, xd.mi_col - 1]
+            step = min(int(MI_H[mb.bsize]), 16)
+            if step == 1:
+                row &= ~1
+                mb = xd.mi[row + 1, xd.mi_col - 1]
+                step = 2
+            if mb.is_inter:
+                count += 1
+            row += step
+    return count
+
+
+def motion_mode_allowed(dec, xd, mbmi, overlappable):
+    if not overlappable:
+        return SIMPLE_TRANSLATION
+    if not dec.fh.force_integer_mv:
+        if MR.is_global_mv_block(
+                mbmi, dec.global_motion[mbmi.ref_frame[0]].wmtype):
+            return SIMPLE_TRANSLATION
+    bw, bh = int(BLOCK_WIDTH[mbmi.bsize]), int(BLOCK_HEIGHT[mbmi.bsize])
+    if bw >= 8 and bh >= 8 and mbmi.mode >= MR.NEARESTMV \
+            and mbmi.mode <= MR.NEWMV and mbmi.ref_frame[1] != MR.INTRA_FRAME \
+            and not mbmi.is_compound:
+        if mbmi.num_proj_ref >= 1 and dec.fh.allow_warped_motion \
+                and not dec.fh.force_integer_mv:
+            return WARPED_CAUSAL
+        return OBMC_CAUSAL
+    return SIMPLE_TRANSLATION
+
+
+def read_motion_mode(dec, xd, mbmi, overlappable):
+    if not dec.fh.is_motion_mode_switchable:
+        return SIMPLE_TRANSLATION
+    if mbmi.skip_mode:
+        return SIMPLE_TRANSLATION
+    last = motion_mode_allowed(dec, xd, mbmi, overlappable)
+    if last == SIMPLE_TRANSLATION:
+        return SIMPLE_TRANSLATION
+    if last == OBMC_CAUSAL:
+        return dec._read_symbol(dec.fc.obmc_cdf[mbmi.bsize], 2)
+    return dec._read_symbol(dec.fc.motion_mode_cdf[mbmi.bsize], 3)
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (reconinter_template.inc)
+# ---------------------------------------------------------------------------
+AOM_INTERP_EXTEND = 4
+
+
+def _clamp_mv_to_umv_border(mv, xd, bw, bh, ss_x, ss_y):
+    """clamp_mv_to_umv_border_sb: returns q4 (1/16-pel) MV."""
+    spel_left = (AOM_INTERP_EXTEND + bw) << 4
+    spel_right = spel_left - (1 << 4)
+    spel_top = (AOM_INTERP_EXTEND + bh) << 4
+    spel_bottom = spel_top - (1 << 4)
+    row = mv[0] * (1 << (1 - ss_y))
+    col = mv[1] * (1 << (1 - ss_x))
+    lo_col = (xd.mb_to_left_edge << (1 - ss_x)) - spel_left
+    hi_col = (xd.mb_to_right_edge << (1 - ss_x)) + spel_right
+    lo_row = (xd.mb_to_top_edge << (1 - ss_y)) - spel_top
+    hi_row = (xd.mb_to_bottom_edge << (1 - ss_y)) + spel_bottom
+    return (MR.clamp(row, lo_row, hi_row), MR.clamp(col, lo_col, hi_col))
+
+
+def _fetch_ref_block(ref_plane, crop_w, crop_h, x0, y0, w, h):
+    """Fetch (h, w) region at (y0, x0) with border replication beyond the
+    crop (extend_mc_border / aom frame border semantics)."""
+    ys = np.clip(np.arange(y0, y0 + h), 0, crop_h - 1)
+    xs = np.clip(np.arange(x0, x0 + w), 0, crop_w - 1)
+    return ref_plane[np.ix_(ys, xs)]
+
+
+def _predict_one(dec, mbmi, ref_slot, mv, xd, plane, pre_x, pre_y, bw, bh,
+                 ss_x, ss_y, is_compound):
+    """Single-reference prediction for one plane region of (bh, bw) px at
+    plane coords (pre_x, pre_y). Returns int32 (bh, bw) pixels (single) or
+    the CONV_BUF-domain first pass (compound)."""
+    mv_q4 = _clamp_mv_to_umv_border(mv, xd, bw, bh, ss_x, ss_y)
+    pos_x = (pre_x << 4) + mv_q4[1]
+    pos_y = (pre_y << 4) + mv_q4[0]
+    x0 = (pos_x >> 4) - 3
+    y0 = (pos_y >> 4) - 3
+    subpel_x = mv_q4[1] & 15
+    subpel_y = mv_q4[0] & 15
+    plane_buf = ref_slot["planes"][plane]
+    crop_w = (ref_slot["upscaled_width"] + ss_x) >> ss_x
+    crop_h = (ref_slot["height"] + ss_y) >> ss_y
+    region = _fetch_ref_block(plane_buf, crop_w, crop_h, x0, y0,
+                              bw + 7, bh + 7).astype(np.int32)
+    kx = CONV.filter_kernels(mbmi.interp_x, bw)[subpel_x]
+    ky = CONV.filter_kernels(mbmi.interp_y, bh)[subpel_y]
+    if not is_compound:
+        if subpel_x and subpel_y:
+            return CONV.convolve_2d_sr(region, bw, bh, kx, ky, bd=dec.bd)
+        if subpel_x:
+            return CONV.convolve_x_sr(region[3 : 3 + bh, :], bw, bh, kx,
+                                      bd=dec.bd)
+        if subpel_y:
+            return CONV.convolve_y_sr(region[:, 3 : 3 + bw], bw, bh, ky,
+                                      bd=dec.bd)
+        return region[3 : 3 + bh, 3 : 3 + bw].astype(np.int32)
+    return COMP._first_pass(region, bw, bh, subpel_x, subpel_y, kx, ky,
+                            bd=dec.bd)
+
+
+def dist_wtd_comp_weights(dec, mbmi):
+    """av1_dist_wtd_comp_weight_assign (reconinter.c:680)."""
+    if mbmi.compound_idx:
+        return 8, 8, False
+    quant_dist_weight = [(2, 3), (2, 5), (2, 7)]
+    quant_dist_lookup = [(9, 7), (11, 5), (12, 4), (13, 3)]
+    cur = dec.cur_order_hint
+    bck = dec.ref_order_hint(mbmi.ref_frame[0])
+    fwd = dec.ref_order_hint(mbmi.ref_frame[1])
+    d0 = MR.clamp(abs(MR.get_relative_dist(dec.enable_order_hint,
+                                           dec.order_hint_bits, fwd, cur)),
+                  0, MR.MAX_FRAME_DISTANCE)
+    d1 = MR.clamp(abs(MR.get_relative_dist(dec.enable_order_hint,
+                                           dec.order_hint_bits, cur, bck)),
+                  0, MR.MAX_FRAME_DISTANCE)
+    order = int(d0 <= d1)
+    if d0 == 0 or d1 == 0:
+        i = 2
+    else:
+        for i in range(3):
+            c0 = quant_dist_weight[i][order]
+            c1 = quant_dist_weight[i][1 - order]
+            d0_c0, d1_c1 = d0 * c0, d1 * c1
+            if (d0 > d1 and d0_c0 < d1_c1) or (d0 <= d1 and d0_c0 > d1_c1):
+                break
+        else:
+            i = 3
+    fwd_o = quant_dist_lookup[i][order]
+    bck_o = quant_dist_lookup[i][1 - order]
+    return fwd_o, bck_o, True
+
+
+def build_inter_predictors(dec, xd, mbmi, plane, dst, dst_x, dst_y):
+    """build_inter_predictors (reconinter_template.inc): writes the plane
+    prediction for the whole block into dst (the frame plane) at plane
+    pixel coords (dst_x, dst_y)."""
+    bsize = mbmi.bsize
+    ss_x, ss_y = dec.ss[plane]
+    bw_px = int(BLOCK_WIDTH[bsize])
+    bh_px = int(BLOCK_HEIGHT[bsize])
+    is_sub4_x = bw_px == 4 and ss_x
+    is_sub4_y = bh_px == 4 and ss_y
+    sub8x8 = False
+    if plane and (is_sub4_x or is_sub4_y) and not mbmi.use_intrabc:
+        sub8x8 = True
+        row_start = -1 if is_sub4_y else 0
+        col_start = -1 if is_sub4_x else 0
+        for row in range(row_start, 1):
+            for col in range(col_start, 1):
+                mb = xd.mi[xd.mi_row + row, xd.mi_col + col]
+                if not mb.is_inter or mb.use_intrabc:
+                    sub8x8 = False
+    if sub8x8:
+        b4_w = bw_px >> ss_x
+        b4_h = bh_px >> ss_y
+        pb = get_plane_block_size(bsize, ss_x, ss_y)
+        b8_w = int(BLOCK_WIDTH[pb])
+        b8_h = int(BLOCK_HEIGHT[pb])
+        row_start = -1 if is_sub4_y else 0
+        col_start = -1 if is_sub4_x else 0
+        row = row_start
+        for y in range(0, b8_h, b4_h):
+            col = col_start
+            for x in range(0, b8_w, b4_w):
+                mb = xd.mi[xd.mi_row + row, xd.mi_col + col]
+                ref_slot = dec.refs[mb.ref_frame[0]]
+                pre_x = ((xd.mi_col + col_start) * 4 >> ss_x) + x
+                pre_y = ((xd.mi_row + row_start) * 4 >> ss_y) + y
+                # note: per-sub-block mbmi supplies mv + interp filters
+                pred = _predict_one(dec, mb, ref_slot, mb.mv[0], xd, plane,
+                                    pre_x, pre_y, b4_w, b4_h, ss_x, ss_y,
+                                    False)
+                dst[dst_y + y : dst_y + y + b4_h,
+                    dst_x + x : dst_x + x + b4_w] = pred
+                col += 1
+            row += 1
+        return
+    bw = bw_px >> ss_x if not (plane and is_sub4_x) else bw_px
+    bh = bh_px >> ss_y if not (plane and is_sub4_y) else bh_px
+    # 8x8-and-bigger path: pre origin shifts for sub-8 chroma
+    row_start = -1 if (plane and is_sub4_y) else 0
+    col_start = -1 if (plane and is_sub4_x) else 0
+    pre_x = ((xd.mi_col + col_start) * 4) >> ss_x
+    pre_y = ((xd.mi_row + row_start) * 4) >> ss_y
+    if plane:
+        pbs = get_plane_block_size(bsize, ss_x, ss_y) if not (
+            is_sub4_x or is_sub4_y) else None
+        if pbs is not None:
+            bw = int(BLOCK_WIDTH[pbs])
+            bh = int(BLOCK_HEIGHT[pbs])
+    is_compound = mbmi.is_compound
+    if not is_compound:
+        if mbmi.motion_mode == WARPED_CAUSAL or (
+                MR.is_global_mv_block(
+                    mbmi, dec.global_motion[mbmi.ref_frame[0]].wmtype)
+                and dec.global_motion[mbmi.ref_frame[0]].wmtype
+                > MR.TRANSLATION):
+            pred = _predict_warp(dec, xd, mbmi, plane, pre_x, pre_y, bw, bh,
+                                 ss_x, ss_y)
+        else:
+            ref_slot = dec.refs[mbmi.ref_frame[0]]
+            pred = _predict_one(dec, mbmi, ref_slot, mbmi.mv[0], xd, plane,
+                                pre_x, pre_y, bw, bh, ss_x, ss_y, False)
+        dst[dst_y : dst_y + bh, dst_x : dst_x + bw] = pred
+        return
+    # compound: two first-pass buffers then average / dist-wtd / masked
+    convs = []
+    for ref in range(2):
+        ref_slot = dec.refs[mbmi.ref_frame[ref]]
+        convs.append(_predict_one(dec, mbmi, ref_slot, mbmi.mv[ref], xd,
+                                  plane, pre_x, pre_y, bw, bh, ss_x, ss_y,
+                                  True))
+    if mbmi.comp_type in (COMPOUND_AVERAGE, COMPOUND_DISTWTD):
+        fwd_o, bck_o, use_dw = dist_wtd_comp_weights(dec, mbmi)
+        pred = COMP.dist_wtd_avg(convs[0], convs[1], fwd_o, bck_o, use_dw,
+                                 bd=dec.bd)
+    else:
+        pred = _masked_blend(dec, mbmi, convs[0], convs[1], plane, bw, bh,
+                             ss_x, ss_y)
+    dst[dst_y : dst_y + bh, dst_x : dst_x + bw] = pred
+
+
+def _masked_blend(dec, mbmi, conv0, conv1, plane, bw, bh, ss_x, ss_y):
+    """Wedge / diff-wtd compound (av1_make_masked_inter_predictor):
+    mask built in the CONV_BUF domain, then aom_lowbd_blend_a64_d16_mask."""
+    from ..ops import compound as CP
+    if mbmi.comp_type == COMPOUND_WEDGE:
+        mask = CP.wedge_mask(mbmi.bsize, mbmi.wedge_index, mbmi.wedge_sign)
+    else:
+        mask = CP.build_compound_diffwtd_mask_d16(
+            conv0, conv1, mbmi.mask_type == 1, bd=dec.bd)
+    return CP.blend_a64_d16_mask(conv0, conv1, mask,
+                                 ss_x if plane else 0, ss_y if plane else 0,
+                                 bd=dec.bd)
+
+
+def _predict_warp(dec, xd, mbmi, plane, pre_x, pre_y, bw, bh, ss_x, ss_y):
+    """Warped motion / non-translational global motion prediction via
+    ops.warp.warp_affine (av1_warp_plane)."""
+    from ..ops import warp as WARP
+    if mbmi.motion_mode == WARPED_CAUSAL:
+        wm = mbmi.wm_params
+    else:
+        wm = dec.global_motion[mbmi.ref_frame[0]]
+    ref_slot = dec.refs[mbmi.ref_frame[0]]
+    plane_buf = ref_slot["planes"][plane]
+    crop_w = (ref_slot["upscaled_width"] + ss_x) >> ss_x
+    crop_h = (ref_slot["height"] + ss_y) >> ss_y
+    return WARP.warp_affine(wm.wmmat, plane_buf[:crop_h, :crop_w], pre_x,
+                            pre_y, bw, bh, ss_x, ss_y, wm.alpha, wm.beta,
+                            wm.gamma, wm.delta, bd=dec.bd)

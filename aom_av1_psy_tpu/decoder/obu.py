@@ -1,7 +1,10 @@
 """OBU-level decode driver (av1/decoder/obu.c analogue).
 
 Parses a temporal unit's OBUs, reads headers, dispatches tile groups to the
-FrameDecoder, returns decoded frames.
+FrameDecoder, returns decoded frames. Owns the 8-slot reference frame map
+(decoder.c ref management), the per-slot saved entropy contexts
+(REFRESH_FRAME_CONTEXT_BACKWARD), saved loop-filter deltas / global motion
+(primary-ref inheritance), and per-slot 8x8 MV grids for temporal MVP.
 """
 from __future__ import annotations
 
@@ -9,7 +12,7 @@ import numpy as np
 
 from ..bitstream.bitio import BitReader, read_leb128
 from ..bitstream.headers import (SequenceHeader, FrameHeader,
-                                 read_frame_header)
+                                 read_frame_header, PRIMARY_REF_NONE)
 from ..ec.context import FrameContext
 from .frame import FrameDecoder
 
@@ -19,6 +22,7 @@ OBU_FRAME_HEADER = 3
 OBU_TILE_GROUP = 4
 OBU_METADATA = 5
 OBU_FRAME = 6
+OBU_REDUNDANT_FRAME_HEADER = 7
 OBU_PADDING = 15
 
 
@@ -30,6 +34,25 @@ class Av1Decoder:
         self.fh: FrameHeader | None = None
         self.fdec: FrameDecoder | None = None
         self.tiles_parsed = 0
+        self.ref_slots = [None] * 8  # RefCntBuffer analogues
+
+    # ---- ref_state protocol for read_frame_header ----
+    def slot_order_hint(self, idx: int):
+        s = self.ref_slots[idx]
+        return s["order_hint"] if s else None
+
+    def slot_size(self, idx: int):
+        s = self.ref_slots[idx]
+        return (s["upscaled_width"], s["height"], s["render_width"],
+                s["render_height"])
+
+    def slot_global_motion(self, idx: int):
+        s = self.ref_slots[idx]
+        return s["global_motion"] if s else None
+
+    def slot_lf_deltas(self, idx: int):
+        s = self.ref_slots[idx]
+        return s["lf_deltas"] if s else None
 
     def decode_packet(self, data: bytes) -> list:
         """Decode one temporal unit (e.g. an IVF packet). Returns frames."""
@@ -57,18 +80,23 @@ class Av1Decoder:
 
     # ------------------------------------------------------------------
     def _handle_obu(self, obu_type: int, payload: bytes, frames: list) -> None:
-        if obu_type in (OBU_TEMPORAL_DELIMITER, OBU_PADDING, OBU_METADATA):
+        if obu_type in (OBU_TEMPORAL_DELIMITER, OBU_PADDING, OBU_METADATA,
+                        OBU_REDUNDANT_FRAME_HEADER):
             return
         if obu_type == OBU_SEQUENCE_HEADER:
             self.seq = SequenceHeader.read(BitReader(payload))
             return
         if obu_type == OBU_FRAME_HEADER:
             r = BitReader(payload)
-            self._start_frame(read_frame_header(r, self.seq))
+            fh = read_frame_header(r, self.seq, ref_state=self)
+            if fh.show_existing_frame:
+                self._show_existing(fh, frames)
+            else:
+                self._start_frame(fh)
             return
         if obu_type == OBU_FRAME:
             r = BitReader(payload)
-            fh = read_frame_header(r, self.seq)
+            fh = read_frame_header(r, self.seq, ref_state=self)
             self._start_frame(fh)
             r.byte_align()
             self._tile_group(payload[r.byte_offset() :], frames)
@@ -78,12 +106,138 @@ class Av1Decoder:
             return
         raise NotImplementedError(f"OBU type {obu_type}")
 
+    # ------------------------------------------------------------------
+    def _show_existing(self, fh: FrameHeader, frames: list) -> None:
+        """show_existing_frame (decodeframe.c:4485)."""
+        slot = self.ref_slots[fh.frame_to_show_map_idx]
+        assert slot is not None, "show_existing of an empty slot"
+        frames.append(self._grain_output(slot["frame"], slot["film_grain"]))
+        if slot["frame_type"] == 0:  # KEY: reset state (6.8.2)
+            slot["showable"] = False
+            for i in range(8):
+                if i != fh.frame_to_show_map_idx:
+                    self.ref_slots[i] = dict(slot)
+
     def _start_frame(self, fh: FrameHeader) -> None:
         self.fh = fh
-        self.fdec = FrameDecoder(self.seq, fh)
+        # resolve reference slots (LAST..ALTREF -> 1..7)
+        refs = [None] * 8
+        sign_bias = [0] * 8
+        if fh.frame_type not in (0, 2):
+            from ..normative.mvref import get_relative_dist
+            for i in range(7):
+                refs[1 + i] = self.ref_slots[fh.ref_frame_idx[i]]
+            if self.seq.enable_order_hint:
+                for rf in range(1, 8):
+                    if refs[rf] is not None:
+                        sign_bias[rf] = int(get_relative_dist(
+                            True, self.seq.order_hint_bits,
+                            refs[rf]["order_hint"], fh.order_hint) > 0)
+        self.fdec = FrameDecoder(self.seq, fh, refs=refs,
+                                 ref_sign_bias=sign_bias)
+        # av1_calculate_ref_frame_side (for av1_copy_frame_mvs)
+        if self.seq.enable_order_hint and fh.frame_type not in (0, 2):
+            from ..normative.mvref import get_relative_dist
+            side = [0] * 8
+            for rf in range(1, 8):
+                hint = refs[rf]["order_hint"] if refs[rf] else 0
+                d = get_relative_dist(True, self.seq.order_hint_bits, hint,
+                                      fh.order_hint)
+                if d > 0:
+                    side[rf] = 1
+                elif hint == fh.order_hint:
+                    side[rf] = -1
+            self.fdec.ref_frame_side = side
+        if fh.allow_ref_frame_mvs:
+            self._setup_motion_field(fh, refs)
         self.tiles_parsed = 0
-        # primary_ref_frame is always NONE for intra: defaults per frame
-        self.frame_fc = FrameContext(fh.quant.base_q_idx)
+        # entropy context: defaults, or the primary ref's saved context
+        if fh.primary_ref_frame == PRIMARY_REF_NONE or fh.frame_type in (0, 2):
+            self.frame_fc = FrameContext(fh.quant.base_q_idx)
+        else:
+            slot = self.ref_slots[fh.ref_frame_idx[fh.primary_ref_frame]]
+            self.frame_fc = slot["fc"].copy()
+
+    def _setup_motion_field(self, fh, refs) -> None:
+        from ..normative import mvref as MR
+        mvs_r = (self.fdec.mi_rows + 1) >> 1
+        mvs_c = (self.fdec.mi_cols + 1) >> 1
+        tpl = {"mv": np.full((mvs_r, mvs_c, 2), 0, np.int32),
+               "offset": np.zeros((mvs_r, mvs_c), np.int32),
+               "valid": np.zeros((mvs_r, mvs_c), np.int32)}
+        bits = self.seq.order_hint_bits
+        cur = fh.order_hint
+
+        def rel(a, b):
+            return MR.get_relative_dist(True, bits, a, b)
+
+        def project(start_rf, dir_):
+            slot = refs[start_rf]
+            if slot is None or slot["frame_type"] in (0, 2):
+                return 0
+            if slot["mi_rows"] != self.fdec.mi_rows or \
+                    slot["mi_cols"] != self.fdec.mi_cols:
+                return 0
+            start_hint = slot["order_hint"]
+            s2c = rel(start_hint, cur)
+            if dir_ == 2:
+                s2c = -s2c
+            ref_offsets = [0] * 8
+            for rf in range(1, 8):
+                ref_offsets[rf] = rel(start_hint,
+                                      slot["ref_order_hints"][rf - 1])
+            mref = slot["mvs_ref"]
+            mmv = slot["mvs"]
+            for br in range(mvs_r):
+                for bc in range(mvs_c):
+                    rf = int(mref[br, bc])
+                    if rf <= 0:
+                        continue
+                    roff = ref_offsets[rf]
+                    if not (0 < roff <= MR.MAX_FRAME_DISTANCE
+                            and abs(s2c) <= MR.MAX_FRAME_DISTANCE):
+                        continue
+                    fwd = (int(mmv[br, bc, 0]), int(mmv[br, bc, 1]))
+                    pmv = MR.get_mv_projection(fwd, s2c, roff)
+                    # get_block_position
+                    ro = (pmv[0] >> 7) if pmv[0] >= 0 else -((-pmv[0]) >> 7)
+                    co = (pmv[1] >> 7) if pmv[1] >= 0 else -((-pmv[1]) >> 7)
+                    r = br - ro if (dir_ >> 1) == 1 else br + ro
+                    c = bc - co if (dir_ >> 1) == 1 else bc + co
+                    if not (0 <= r < (self.fdec.mi_rows >> 1)
+                            and 0 <= c < (self.fdec.mi_cols >> 1)):
+                        continue
+                    base_r = (br >> 3) << 3
+                    base_c = (bc >> 3) << 3
+                    if r < base_r or r >= base_r + 8 or \
+                            c < base_c - 8 or c >= base_c + 16:
+                        continue
+                    tpl["mv"][r, c] = fwd
+                    tpl["offset"][r, c] = roff
+                    tpl["valid"][r, c] = 1
+            return 1
+
+        ref_hint = [refs[rf]["order_hint"] if refs[rf] else 0
+                    for rf in range(8)]
+        ref_stamp = MR.MFMV_STACK_SIZE - 1
+        if refs[MR.LAST_FRAME] is not None:
+            alt_of_lst = refs[MR.LAST_FRAME]["ref_order_hints"][
+                MR.ALTREF_FRAME - MR.LAST_FRAME]
+            if alt_of_lst != ref_hint[MR.GOLDEN_FRAME]:
+                project(MR.LAST_FRAME, 2)
+            ref_stamp -= 1
+        if rel(ref_hint[MR.BWDREF_FRAME], cur) > 0:
+            if project(MR.BWDREF_FRAME, 0):
+                ref_stamp -= 1
+        if rel(ref_hint[MR.ALTREF2_FRAME], cur) > 0:
+            if project(MR.ALTREF2_FRAME, 0):
+                ref_stamp -= 1
+        if rel(ref_hint[MR.ALTREF_FRAME], cur) > 0 and ref_stamp >= 0:
+            if project(MR.ALTREF_FRAME, 0):
+                ref_stamp -= 1
+        if ref_stamp >= 0:
+            project(MR.LAST2_FRAME, 2)
+        self.fdec.tpl_mvs = tpl
 
     def _tile_group_obu(self, payload: bytes, frames: list) -> None:
         t = self.fh.tiles
@@ -124,15 +278,56 @@ class Av1Decoder:
                 pos += sz
             fc = self.frame_fc.copy()
             self.fdec.decode_tile(tile_data, row, col, fc)
+            if tnum == t.context_update_tile_id:
+                self._context_update_fc = fc
             self.tiles_parsed += 1
         if self.tiles_parsed == t.tile_cols * t.tile_rows:
             self.fdec.apply_loop_filter()
-            frames.append(self._finish_frame(self.fdec.output_frame()))
+            self._update_ref_slots()
+            if self.fh.show_frame:
+                frames.append(self._grain_output(self.fdec.output_frame(),
+                                                 self.fh.film_grain))
 
-    def _finish_frame(self, frame):
+    def _update_ref_slots(self) -> None:
+        fh = self.fh
+        if fh.refresh_frame_flags == 0:
+            return
+        fdec = self.fdec
+        frame = fdec.output_frame()
+        if fh.disable_frame_end_update_cdf:
+            saved_fc = self.frame_fc
+        else:
+            saved_fc = self._context_update_fc
+        saved_fc.reset_counters()
+        ref_order_hints = [fdec.ref_order_hint(rf) for rf in range(1, 8)]
+        slot = {
+            "frame": frame,
+            "planes": [p for p in fdec.planes],
+            "order_hint": fh.order_hint,
+            "ref_order_hints": ref_order_hints,
+            "frame_type": fh.frame_type,
+            "showable": fh.showable_frame or fh.show_frame,
+            "width": fh.width,
+            "height": fh.height,
+            "upscaled_width": fh.upscaled_width,
+            "render_width": fh.render_width,
+            "render_height": fh.render_height,
+            "mi_rows": fdec.mi_rows,
+            "mi_cols": fdec.mi_cols,
+            "global_motion": fh.global_motion,
+            "lf_deltas": (tuple(fh.lf.ref_deltas), tuple(fh.lf.mode_deltas)),
+            "fc": saved_fc,
+            "film_grain": fh.film_grain,
+            "mvs_ref": fdec.frame_mvs_ref,
+            "mvs": fdec.frame_mvs,
+        }
+        for i in range(8):
+            if (fh.refresh_frame_flags >> i) & 1:
+                self.ref_slots[i] = slot
+
+    def _grain_output(self, frame, fg):
         """Post-decode grain application (av1_dx_iface.c:465 grain apply;
         output only — reference buffers stay grain-free)."""
-        fg = getattr(self.fh, "film_grain", None)
         if fg is None or not fg.apply_grain:
             return frame
         from ..ops.grain import apply_film_grain

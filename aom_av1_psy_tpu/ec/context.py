@@ -73,6 +73,46 @@ class FrameContext:
         for attr, key in _COEF_FIELDS.items():
             setattr(self, attr, tables.get(key)[qctx].copy())
 
+    def reset_counters(self) -> None:
+        """av1_reset_cdf_symbol_counters (entropy.c:86): zero the adaptation
+        counter of every cdf row — the reference does this when saving a
+        frame context for future frames. The counter lives at row index
+        ``nsymbs``, which for most tables is the last element; tables whose
+        rows are wider than their symbol count (variable-nsymbs families)
+        need the C function's special-cased indices."""
+        import numpy as np
+        special = {
+            # partition_cdf: ctx<4 -> 4 syms, 4..15 -> 10, >=16 -> 8
+            "partition_cdf": None,
+            "uv_mode_cdf": None,
+            "tx_size_cdf": None,
+            "intra_ext_tx_cdf": None,
+            "inter_ext_tx_cdf": None,
+            "palette_y_color_index_cdf": None,
+            "palette_uv_color_index_cdf": None,
+        }
+        for k, v in self.__dict__.items():
+            if not isinstance(v, np.ndarray):
+                continue
+            if k not in special:
+                v[..., -1] = 0
+        p = self.partition_cdf
+        p[:4, 4] = 0
+        p[4:16, 10] = 0
+        p[16:, 8] = 0
+        self.uv_mode_cdf[0, :, 13] = 0
+        self.uv_mode_cdf[1, :, 14] = 0
+        self.tx_size_cdf[0, :, 2] = 0
+        self.tx_size_cdf[1:, :, 3] = 0
+        self.intra_ext_tx_cdf[1, ..., 7] = 0
+        self.intra_ext_tx_cdf[2, ..., 5] = 0
+        self.inter_ext_tx_cdf[1, ..., 16] = 0
+        self.inter_ext_tx_cdf[2, ..., 12] = 0
+        self.inter_ext_tx_cdf[3, ..., 2] = 0
+        for j in range(7):
+            self.palette_y_color_index_cdf[j, :, j + 2] = 0
+            self.palette_uv_color_index_cdf[j, :, j + 2] = 0
+
     def copy(self) -> "FrameContext":
         out = object.__new__(FrameContext)
         for k, v in self.__dict__.items():

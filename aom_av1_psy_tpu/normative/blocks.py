@@ -31,6 +31,7 @@ EXT_TX_USED_FLAG = np.array([0x0001, 0x0201, 0x020F, 0x0E0F, 0x0FFF, 0xFFFF],
                             np.int32)
 NUM_EXT_TX_SET = np.array([1, 2, 5, 7, 12, 16], np.int32)
 EXT_TX_SET_INDEX_INTRA = {0: 0, 2: 2, 3: 1}  # set_type -> eset
+EXT_TX_SET_INDEX_INTER = {0: 0, 1: 3, 4: 2, 5: 1}  # blockd.h:1114
 EXT_TX_IND = np.array([
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
     [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],

@@ -139,17 +139,34 @@ def _filter_edge(px, length, blimit, limit, thresh):
     return out
 
 
+# mode_lf_lut (av1_loopfilter.c:41): 0 for intra + NEAREST/NEAR/GLOBAL(MV),
+# 1 for NEW-containing modes
+MODE_LF_LUT = np.array([0] * 13 + [1, 1, 0, 1] + [1, 1, 1, 1, 1, 1, 0, 1],
+                       np.int32)
+
+
 class DeblockInfo:
-    """Per-frame MI-grid info the filter needs (from the decoder/encoder)."""
+    """Per-frame MI-grid info the filter needs (from the decoder/encoder).
+
+    ``mi_ref0``/``mi_mode``/``mi_borigin_r``/``mi_borigin_c`` enable the
+    per-block filter-level derivation (av1_get_filter_level with ref/mode
+    deltas) and the prediction-edge / skip rules needed for inter frames;
+    when omitted the frame is treated as all-intra with block edges only at
+    tx boundaries (the behavior conformance-proven on intra streams)."""
 
     def __init__(self, mi_tx_size_y, mi_bsize, mi_skip, mi_is_inter,
-                 mi_rows, mi_cols):
+                 mi_rows, mi_cols, mi_ref0=None, mi_mode=None,
+                 mi_borigin_r=None, mi_borigin_c=None):
         self.tx_y = mi_tx_size_y
         self.bsize = mi_bsize
         self.skip = mi_skip
         self.is_inter = mi_is_inter
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
+        self.ref0 = mi_ref0
+        self.mode = mi_mode
+        self.borigin_r = mi_borigin_r
+        self.borigin_c = mi_borigin_c
 
 
 def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
@@ -198,13 +215,34 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
     pbs = lut[bs]
     pbw = BLOCK_WIDTH[pbs]
     pbh = BLOCK_HEIGHT[pbs]
-    # deltas/modes: intra-only frames → level is uniform + ref_delta[INTRA]
-    def eff_level(base):
+    # per-4x4 filter levels (av1_get_filter_level, av1_loopfilter.c:68):
+    # base + ref_deltas[ref0]*scale (+ mode_deltas[mode_lf_lut[mode]]*scale
+    # for inter blocks), clamped to [0, 63]
+    if info.ref0 is not None:
+        ref0 = info.ref0[mi_r, mi_c]
+        mode = info.mode[mi_r, mi_c]
+    else:
+        ref0 = np.zeros_like(mi_r)
+        mode = np.zeros_like(mi_r)
+
+    def level_grid(base):
         if not fh.lf.delta_enabled:
-            return base
+            return np.full(mi_r.shape, base, np.int32)
         scale = 1 << (base >> 5)
-        return int(np.clip(base + fh.lf.ref_deltas[0] * scale, 0,
-                           MAX_LOOP_FILTER))
+        ref_d = np.asarray(fh.lf.ref_deltas, np.int32)[ref0]
+        mode_d = np.asarray(fh.lf.mode_deltas, np.int32)[MODE_LF_LUT[mode]]
+        lvl = base + ref_d * scale + np.where(ref0 > 0, mode_d * scale, 0)
+        return np.clip(lvl, 0, MAX_LOOP_FILTER).astype(np.int32)
+
+    lvl_grid_v = level_grid(lvl_v)
+    lvl_grid_h = level_grid(lvl_h)
+    skip_inter = (info.skip[mi_r, mi_c] & info.is_inter[mi_r, mi_c]) \
+        if info.ref0 is not None else np.zeros_like(mi_r)
+    if info.borigin_r is not None:
+        bor_r = info.borigin_r[mi_r, mi_c]
+        bor_c = info.borigin_c[mi_r, mi_c]
+    else:
+        bor_r = bor_c = None
 
     buf_h, buf_w = buf.shape
 
@@ -236,6 +274,15 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
     visited_v = _walk_visited(txw // 4, chunk_x)        # per row walk
     visited_h = _walk_visited((txh // 4).T, chunk_y).T  # per-column walk
 
+    sharp = fh.lf.sharpness
+
+    def _limits_vec(level):
+        lim = level >> ((sharp > 0) + (sharp > 4))
+        if sharp > 0:
+            lim = np.minimum(lim, 9 - sharp)
+        lim = np.maximum(lim, 1)
+        return 2 * (level + 2) + lim, lim, level >> 4
+
     def do_edge(direction, b, r0, r1):
         """Filter the boundary at 4*b for perpendicular lines [r0*4, r1*4)."""
         coord = b * 4
@@ -244,12 +291,33 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
                 & visited_v[r0:r1, b]
             cur_u = txw[r0:r1, b] // 4
             pv_u = txw[r0:r1, b - 1] // 4
+            lvl_c = lvl_grid_v[r0:r1, b]
+            lvl_p = lvl_grid_v[r0:r1, b - 1]
+            sk = skip_inter[r0:r1, b]
+            if bor_r is not None:
+                pu_edge = ((bor_r[r0:r1, b] != bor_r[r0:r1, b - 1])
+                           | (bor_c[r0:r1, b] != bor_c[r0:r1, b - 1]))
+            else:
+                pu_edge = np.ones(r1 - r0, bool)
         else:
             tu_edge = ((coord % np.maximum(txh[b, r0:r1], 1)) == 0) \
                 & visited_h[b, r0:r1]
             cur_u = txh[b, r0:r1] // 4
             pv_u = txh[b - 1, r0:r1] // 4
+            lvl_c = lvl_grid_h[b, r0:r1]
+            lvl_p = lvl_grid_h[b - 1, r0:r1]
+            sk = skip_inter[b, r0:r1]
+            if bor_r is not None:
+                pu_edge = ((bor_r[b, r0:r1] != bor_r[b - 1, r0:r1])
+                           | (bor_c[b, r0:r1] != bor_c[b - 1, r0:r1]))
+            else:
+                pu_edge = np.ones(r1 - r0, bool)
         if not tu_edge.any():
+            return
+        # level falls back to the neighbor's when the current block's is 0
+        level = np.where(lvl_c > 0, lvl_c, lvl_p)
+        edge_on = tu_edge & (level > 0) & (pu_edge | (sk == 0))
+        if not edge_on.any():
             return
         dim_log2 = np.log2(np.maximum(np.minimum(cur_u, pv_u), 1)).astype(
             np.int32)
@@ -257,7 +325,7 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
             length = np.where(dim_log2 == 0, 4, np.where(dim_log2 == 1, 8, 14))
         else:
             length = np.where(dim_log2 == 0, 4, 6)
-        length = np.where(tu_edge, length, 0)
+        length = np.where(edge_on, length, 0)
         # filter whole 4-line groups: lines may extend past the cropped frame
         # into the mi-aligned buffer (the C kernels always do 4 lines)
         p0 = r0 * 4
@@ -266,6 +334,7 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
         ll = np.repeat(length, 4)[:nl]
         if not ll.any():
             return
+        blimit, limit, thresh = _limits_vec(np.repeat(level, 4)[:nl])
         lo = max(coord - 7, 0)
         hi = min(coord + 7, buf_w if direction == 0 else buf_h)
         seg = np.zeros((nl, 14), np.int32)
@@ -286,15 +355,13 @@ def loop_filter_plane(buf, plane, info: DeblockInfo, fh, seq,
     # horizontal edges
     band_rows = 128 >> sy  # plane px per band
     band_n4 = band_rows // 4
-    lv_eff = eff_level(lvl_v)
-    lh_eff = eff_level(lvl_h)
+    any_v = bool(lvl_grid_v.max()) if fh.lf.delta_enabled else lvl_v > 0
+    any_h = bool(lvl_grid_h.max()) if fh.lf.delta_enabled else lvl_h > 0
     for band in range(0, n4r, band_n4):
         band_end = min(band + band_n4, n4r)
-        if lv_eff:
-            blimit, limit, thresh = _limits(lv_eff, fh.lf.sharpness)
+        if any_v:
             for b in range(1, n4c):
                 do_edge(0, b, band, band_end)
-        if lh_eff:
-            blimit, limit, thresh = _limits(lh_eff, fh.lf.sharpness)
+        if any_h:
             for b in range(max(band, 1), band_end):
                 do_edge(1, b, 0, n4c)

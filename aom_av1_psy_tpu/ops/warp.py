@@ -96,3 +96,57 @@ def warp_affine(mat, ref: np.ndarray, p_col: int, p_row: int, p_width: int,
             out[i - p_row + kv[0] + 4 : i - p_row + kv[-1] + 5,
                 j - p_col + lv[0] + 4 : j - p_col + lv[-1] + 5] = s
     return out
+
+
+# ---------------------------------------------------------------------------
+# Shear-parameter derivation (av1_get_shear_params, warped_motion.c:219)
+# ---------------------------------------------------------------------------
+DIV_LUT_BITS = 8
+DIV_LUT_PREC_BITS = 14
+# div_lut[i] = round(2^DIV_LUT_PREC_BITS * 256 / (256 + i))  (257 entries)
+_DIV_LUT = [int(round((1 << DIV_LUT_PREC_BITS) * 256.0 / (256 + i)))
+            for i in range(257)]
+
+
+def _round2s(v, bits):
+    if v < 0:
+        return -((-v + (1 << (bits - 1))) >> bits)
+    return (v + (1 << (bits - 1))) >> bits
+
+
+def _resolve_divisor_32(d: int):
+    shift = d.bit_length() - 1
+    e = d - (1 << shift)
+    if shift > DIV_LUT_BITS:
+        f = (e + (1 << (shift - DIV_LUT_BITS - 1))) >> (shift - DIV_LUT_BITS)
+    else:
+        f = e << (DIV_LUT_BITS - shift)
+    return _DIV_LUT[f], shift + DIV_LUT_PREC_BITS
+
+
+def get_shear_params(wm) -> bool:
+    """Derive alpha/beta/gamma/delta; returns False when the model is not
+    warpable (av1_get_shear_params)."""
+    mat = wm.wmmat
+    if mat[2] <= 0:
+        return False
+    c16 = lambda v: max(-32768, min(32767, v))
+    wm.alpha = c16(mat[2] - (1 << WARPEDMODEL_PREC_BITS))
+    wm.beta = c16(mat[3])
+    y, shift = _resolve_divisor_32(abs(mat[2]))
+    if mat[2] < 0:
+        y = -y
+    v = (mat[4] << WARPEDMODEL_PREC_BITS) * y
+    wm.gamma = c16(_round2s(v, shift))
+    v = (mat[3] * mat[4]) * y
+    wm.delta = c16(mat[5] - _round2s(v, shift) - (1 << WARPEDMODEL_PREC_BITS))
+    r = WARP_PARAM_REDUCE_BITS
+    wm.alpha = _round2s(wm.alpha, r) * (1 << r)
+    wm.beta = _round2s(wm.beta, r) * (1 << r)
+    wm.gamma = _round2s(wm.gamma, r) * (1 << r)
+    wm.delta = _round2s(wm.delta, r) * (1 << r)
+    if (4 * abs(wm.alpha) + 7 * abs(wm.beta) >= (1 << WARPEDMODEL_PREC_BITS)
+            or 4 * abs(wm.gamma) + 4 * abs(wm.delta)
+            >= (1 << WARPEDMODEL_PREC_BITS)):
+        return False
+    return True

@@ -92,6 +92,31 @@ int main(int argc, char **argv) {
     aom_codec_control(&codec, AV1E_SET_QM_MIN, 2);
     aom_codec_control(&codec, AV1E_SET_QM_MAX, 5);
   }
+  /* inter-coding knobs via env vars (AOM_DS_*), so existing positional
+     args keep working: KF_DIST + per-tool enables */
+  {
+    const char *e;
+    if ((e = getenv("AOM_DS_KF_DIST"))) {
+      cfg.kf_min_dist = 0;
+      cfg.kf_max_dist = atoi(e);
+      aom_codec_enc_config_set(&codec, &cfg);
+    }
+    if ((e = getenv("AOM_DS_LAG"))) {
+      cfg.g_lag_in_frames = atoi(e);
+      aom_codec_enc_config_set(&codec, &cfg);
+    }
+#define DS_CTRL(env, ctrl) \
+    if ((e = getenv(env))) aom_codec_control(&codec, ctrl, atoi(e));
+    DS_CTRL("AOM_DS_OBMC", AV1E_SET_ENABLE_OBMC)
+    DS_CTRL("AOM_DS_WARP", AV1E_SET_ENABLE_WARPED_MOTION)
+    DS_CTRL("AOM_DS_GM", AV1E_SET_ENABLE_GLOBAL_MOTION)
+    DS_CTRL("AOM_DS_DUAL", AV1E_SET_ENABLE_DUAL_FILTER)
+    DS_CTRL("AOM_DS_MASKED", AV1E_SET_ENABLE_MASKED_COMP)
+    DS_CTRL("AOM_DS_INTERINTRA", AV1E_SET_ENABLE_INTERINTRA_COMP)
+    DS_CTRL("AOM_DS_DISTWTD", AV1E_SET_ENABLE_DIST_WTD_COMP)
+    DS_CTRL("AOM_DS_REFMVS", AV1E_SET_ENABLE_REF_FRAME_MVS)
+#undef DS_CTRL
+  }
   aom_image_t img;
   if (!aom_img_alloc(&img, AOM_IMG_FMT_I420, w, h, 1)) die("img");
 

@@ -67,6 +67,12 @@ int main(int argc, char **argv) {
   FRAME_CONTEXT fc;
   memset(&fc, 0, sizeof(fc));
   av1_init_mode_probs(&fc);
+  {
+    /* nmvc/ndvc defaults live behind av1_init_mv_probs(cm) */
+    static AV1_COMMON cm;
+    cm.fc = &fc;
+    av1_init_mv_probs(&cm);
+  }
 
   /* ---- mode CDFs (entropymode.c defaults) ---- */
   DF(newmv_cdf, NEWMV_MODE_CONTEXTS, CDF_SIZE(2));
