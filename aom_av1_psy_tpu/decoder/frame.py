@@ -279,6 +279,14 @@ class FrameDecoder:
                                    self.mi_cols)
         # superblock-aligned width: edge tx blocks may span past mi_cols
         _lr_reset_refs(self)
+        # per-tile delta-q / delta-lf running state (spec: reset per tile)
+        self.current_base_qindex = self.fh.quant.base_q_idx
+        self.current_delta_lf = [0, 0, 0, 0]
+        if not hasattr(self, "mi_qindex"):
+            self.mi_qindex = np.full((self.mi_rows, self.mi_cols),
+                                     self.fh.quant.base_q_idx, np.int32)
+            self.mi_delta_lf = np.zeros((self.mi_rows, self.mi_cols, 4),
+                                        np.int32)
         ncols = (self.mi_cols + self.sb_mi - 1) // self.sb_mi * self.sb_mi
         self.above_part = np.zeros(ncols, np.int32)
         # txfm contexts init to 64 = tx_size_wide[TX_SIZES_LARGEST]
@@ -442,6 +450,11 @@ class FrameDecoder:
         self.mi[mi_row:r1, mi_col:c1] = mbmi
         self.mi_ref0[mi_row:r1, mi_col:c1] = max(mbmi.ref_frame[0], 0)
         self.mi_is_inter[mi_row:r1, mi_col:c1] = int(mbmi.is_inter)
+        mbmi.current_qindex = self.current_base_qindex
+        if self.fh.delta_q_present:
+            self.mi_qindex[mi_row:r1, mi_col:c1] = self.current_base_qindex
+        if self.fh.delta_lf_present:
+            self.mi_delta_lf[mi_row:r1, mi_col:c1] = self.current_delta_lf
         return r1, c1
 
     def _decode_block_intra_frame(self, mi_row, mi_col, partition, bsize):
@@ -470,6 +483,7 @@ class FrameDecoder:
         skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
 
         self._read_cdef(mi_row, mi_col, bh4, bw4, skip)
+        self._read_delta_q_params(mi_row, mi_col, bsize, skip)
 
         above_mode = (int(self.mi_mode[above_mi]) if up else
                       PredictionMode.DC_PRED)
@@ -603,6 +617,49 @@ class FrameDecoder:
                                  angle_y, angle_uv, skip, filter_intra_mode,
                                  cfl_idx, cfl_signs, is_chroma_ref, up, left,
                                  chroma_up, chroma_left, partition)
+
+    def _read_delta_q_params(self, mi_row, mi_col, bsize, skip):
+        """read_delta_q_params (decodemv.c:734): per-SB delta q / delta lf,
+        read at each superblock's first coded block."""
+        if not self.fh.delta_q_present:
+            return
+        b_col = mi_col & (self.sb_mi - 1)
+        b_row = mi_row & (self.sb_mi - 1)
+        read_flag = b_col == 0 and b_row == 0
+        if (bsize != int(self.sb_bsize) or skip == 0) and read_flag:
+            abs_v = self._read_symbol(self.fc.delta_q_cdf, 4)
+            if abs_v == 3:  # !smallval (DELTA_Q_SMALL)
+                rem_bits = self.dec.read_literal(3) + 1
+                thr = (1 << rem_bits) + 1
+                abs_v = self.dec.read_literal(rem_bits) + thr
+            if abs_v:
+                sign = self.dec.read_bit()
+            else:
+                sign = 1
+            delta = -abs_v if sign else abs_v
+            self.current_base_qindex = int(np.clip(
+                self.current_base_qindex + delta * (1 << self.fh.delta_q_res),
+                1, 255))
+            if self.fh.delta_lf_present:
+                n = (4 if self.nplanes > 1 else 2) \
+                    if self.fh.delta_lf_multi else 1
+                for i in range(n):
+                    cdf = (self.fc.delta_lf_multi_cdf[i]
+                           if self.fh.delta_lf_multi else self.fc.delta_lf_cdf)
+                    a = self._read_symbol(cdf, 4)
+                    if a == 3:
+                        rem_bits = self.dec.read_literal(3) + 1
+                        thr = (1 << rem_bits) + 1
+                        a = self.dec.read_literal(rem_bits) + thr
+                    s = self.dec.read_bit() if a else 1
+                    d = -a if s else a
+                    v = int(np.clip(self.current_delta_lf[i]
+                                    + d * (1 << self.fh.delta_lf_res),
+                                    -63, 63))
+                    if self.fh.delta_lf_multi:
+                        self.current_delta_lf[i] = v
+                    else:
+                        self.current_delta_lf[:] = v
 
     def _read_cdef(self, mi_row, mi_col, bh4, bw4, skip):
         """read_cdef (decodemv.c): per-64x64 strength literal at the first
@@ -936,7 +993,18 @@ class FrameDecoder:
         return cache[key]
 
     def _dequant(self, coeff, plane, tx_size, tx_type=0):
-        dc, ac = self.dequant[plane]
+        if self.fh.delta_q_present:
+            q = self.fh.quant
+            deltas = [(q.y_dc_delta_q, 0),
+                      (q.u_dc_delta_q, q.u_ac_delta_q),
+                      (q.v_dc_delta_q, q.v_ac_delta_q)]
+            qidx = self.current_base_qindex
+            dc = int(tables.get("dc_quant_qtx")[0][
+                np.clip(qidx + deltas[plane][0], 0, 255)])
+            ac = int(tables.get("ac_quant_qtx")[0][
+                np.clip(qidx + deltas[plane][1], 0, 255)])
+        else:
+            dc, ac = self.dequant[plane]
         shift = tx_scale(tx_size)
         dqv = np.full(coeff.shape, ac, np.int64)
         dqv[0] = dc
@@ -1156,8 +1224,7 @@ class FrameDecoder:
             skip = self._read_symbol(fc.skip_txfm_cdfs[skip_ctx], 2)
         mbmi.skip_txfm = skip
         self._read_cdef(mi_row, mi_col, bh4, bw4, skip)
-        if self.fh.delta_q_present:
-            raise NotImplementedError("delta q in inter frames")
+        self._read_delta_q_params(mi_row, mi_col, bsize, skip)
 
         # is_inter (read_is_inter_block)
         if skip_mode:
@@ -1406,7 +1473,7 @@ class FrameDecoder:
             n, pts, pts_inref = MR.find_samples(self, xd, mbmi)
             mbmi.num_proj_ref = n
             self._warp_pts = (pts, pts_inref)
-        overlappable = IT.count_overlappable_neighbors(self, xd)
+        overlappable = IT.count_overlappable_neighbors(self, xd, bsize)
         if mbmi.ref_frame[1] != MR.INTRA_FRAME:
             mbmi.motion_mode = IT.read_motion_mode(self, xd, mbmi,
                                                    overlappable)
@@ -1497,12 +1564,10 @@ class FrameDecoder:
         return ctx + 3 * offset
 
     def _derive_warp_params(self, mbmi, xd):
-        raise NotImplementedError("warped-causal decode")
-
-    def _derive_warp_params_todo(self, mbmi, xd):
-        """WARPED_CAUSAL model fit (read_inter_block_mode_info tail)."""
+        """WARPED_CAUSAL model fit (read_inter_block_mode_info tail:
+        av1_selectSamples + av1_find_projection)."""
         from ..normative import mvref as MR
-        from ..ops.warp import get_shear_params
+        from ..ops.warp import get_shear_params, find_projection
         pts, pts_inref = self._warp_pts
         if mbmi.num_proj_ref > 1:
             n, pts, pts_inref = MR.select_samples(mbmi.mv[0], pts, pts_inref,
@@ -1510,8 +1575,10 @@ class FrameDecoder:
             mbmi.num_proj_ref = n
         wm = MR.WarpModel()
         wm.wmtype = MR.ROTZOOM  # DEFAULT_WMTYPE
-        ok = _find_projection(mbmi.num_proj_ref, pts, pts_inref, mbmi.bsize,
-                              mbmi.mv[0], wm, xd.mi_row, xd.mi_col)
+        ok = find_projection(mbmi.num_proj_ref, pts, pts_inref,
+                             int(BLOCK_WIDTH[mbmi.bsize]),
+                             int(BLOCK_HEIGHT[mbmi.bsize]),
+                             mbmi.mv[0], wm, xd.mi_row, xd.mi_col)
         if not ok or not get_shear_params(wm):
             wm.invalid = True
         mbmi.wm_params = wm
@@ -1576,19 +1643,24 @@ class FrameDecoder:
         """av1_predict_inter_block: MC prediction for all planes."""
         from . import inter as IT
         mi_row, mi_col = mbmi.mi_row, mbmi.mi_col
+        bw4, bh4 = int(MI_W[mbmi.bsize]), int(MI_H[mbmi.bsize])
         for plane in range(self.nplanes):
             if plane and not is_chroma_ref:
                 break
             sx, sy = self.ss[plane]
-            dst_x = (mi_col * 4) >> sx
-            dst_y = (mi_row * 4) >> sy
+            # setup_pred_plane: sub-4 chroma anchors at the even MI
+            ax_mi = mi_col - (1 if (sx and (mi_col & 1) and bw4 == 1) else 0)
+            ay_mi = mi_row - (1 if (sy and (mi_row & 1) and bh4 == 1) else 0)
+            dst_x = (ax_mi * 4) >> sx
+            dst_y = (ay_mi * 4) >> sy
             IT.build_inter_predictors(self, xd, mbmi, plane,
                                       self.planes[plane], dst_x, dst_y)
         if mbmi.motion_mode == IT.OBMC_CAUSAL:
             self._obmc_prediction(mbmi, xd, is_chroma_ref)
 
     def _obmc_prediction(self, mbmi, xd, is_chroma_ref):
-        raise NotImplementedError("OBMC recon")
+        from . import inter as IT
+        IT.obmc_predict(self, xd, mbmi, is_chroma_ref)
 
     def _store_cfl_inter(self, mbmi, mi_row, mi_col, bsize):
         """cfl_store_inter_block: keep the luma recon of non-chroma-ref

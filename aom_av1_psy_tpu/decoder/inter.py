@@ -365,13 +365,23 @@ def switchable_interp_ctx(dec, mbmi, above, left, up, lf, direction):
 
 
 def is_interp_needed(dec, mbmi):
-    """av1_is_interp_needed: SKIP when all MVs are full-pel and...
-    (reconinter.c): not needed for GLOBALMV with warp, or integer mvs."""
+    """av1_is_interp_needed (reconinter.c): no filter signaled for
+    skip-mode blocks, warped blocks, or non-translational global motion
+    (which includes IDENTITY models — any wmtype other than TRANSLATION)."""
+    if mbmi.skip_mode:
+        return False
     if mbmi.motion_mode == WARPED_CAUSAL:
         return False
-    if MR.is_global_mv_block(
-            mbmi, dec.global_motion[mbmi.ref_frame[0]].wmtype):
-        return False
+    # is_nontrans_global_motion
+    if mbmi.mode in (MR.GLOBALMV, MR.GLOBAL_GLOBALMV) \
+            and min(int(MI_W[mbmi.bsize]), int(MI_H[mbmi.bsize])) >= 2:
+        nontrans = True
+        for ref in range(1 + int(mbmi.is_compound)):
+            if dec.global_motion[mbmi.ref_frame[ref]].wmtype == \
+                    MR.TRANSLATION:
+                nontrans = False
+        if nontrans:
+            return False
     return True
 
 
@@ -396,9 +406,13 @@ def read_mb_interp_filter(dec, mbmi, above, left, up, lf):
     mbmi.interp_x = filters[1]  # horizontal
 
 
-def count_overlappable_neighbors(dec, xd):
-    """av1_count_overlappable_neighbors + obmc.h iterators."""
+def count_overlappable_neighbors(dec, xd, bsize):
+    """av1_count_overlappable_neighbors + obmc.h iterators. Gated on
+    is_motion_variation_allowed_bsize — sub-8x8 blocks skip the scan (their
+    4x4 pair partner may not be decoded yet)."""
     count = 0
+    if int(BLOCK_WIDTH[bsize]) < 8 or int(BLOCK_HEIGHT[bsize]) < 8:
+        return 0
     if xd.up_available:
         end_col = min(xd.mi_col + xd.width, dec.mi_cols)
         col = xd.mi_col
@@ -615,13 +629,22 @@ def build_inter_predictors(dec, xd, mbmi, plane, dst, dst_x, dst_y):
             bh = int(BLOCK_HEIGHT[pbs])
     is_compound = mbmi.is_compound
     if not is_compound:
-        if mbmi.motion_mode == WARPED_CAUSAL or (
-                MR.is_global_mv_block(
-                    mbmi, dec.global_motion[mbmi.ref_frame[0]].wmtype)
-                and dec.global_motion[mbmi.ref_frame[0]].wmtype
-                > MR.TRANSLATION):
-            pred = _predict_warp(dec, xd, mbmi, plane, pre_x, pre_y, bw, bh,
-                                 ss_x, ss_y)
+        # av1_init_warp_params + av1_allow_warp: warp only when this plane's
+        # region is >= 8x8, MVs are fractional-capable, and the local/global
+        # model is valid; otherwise plain translational MC
+        use_warp = False
+        wm = None
+        if bw >= 8 and bh >= 8 and not dec.force_integer_mv:
+            if mbmi.motion_mode == WARPED_CAUSAL and mbmi.wm_params is not None \
+                    and not mbmi.wm_params.invalid:
+                use_warp, wm = True, mbmi.wm_params
+            elif MR.is_global_mv_block(
+                    mbmi, dec.global_motion[mbmi.ref_frame[0]].wmtype) \
+                    and not dec.global_motion[mbmi.ref_frame[0]].invalid:
+                use_warp, wm = True, dec.global_motion[mbmi.ref_frame[0]]
+        if use_warp:
+            pred = _predict_warp(dec, xd, mbmi, wm, plane, pre_x, pre_y,
+                                 bw, bh, ss_x, ss_y)
         else:
             ref_slot = dec.refs[mbmi.ref_frame[0]]
             pred = _predict_one(dec, mbmi, ref_slot, mbmi.mv[0], xd, plane,
@@ -646,27 +669,27 @@ def build_inter_predictors(dec, xd, mbmi, plane, dst, dst_x, dst_y):
 
 
 def _masked_blend(dec, mbmi, conv0, conv1, plane, bw, bh, ss_x, ss_y):
-    """Wedge / diff-wtd compound (av1_make_masked_inter_predictor):
-    mask built in the CONV_BUF domain, then aom_lowbd_blend_a64_d16_mask."""
+    """Wedge / diff-wtd compound (av1_make_masked_inter_predictor): the
+    luma-sized mask is built once on plane 0 (diffwtd from the plane-0
+    CONV_BUF intermediates) and reused subsampled for chroma."""
     from ..ops import compound as CP
-    if mbmi.comp_type == COMPOUND_WEDGE:
-        mask = CP.wedge_mask(mbmi.bsize, mbmi.wedge_index, mbmi.wedge_sign)
-    else:
-        mask = CP.build_compound_diffwtd_mask_d16(
-            conv0, conv1, mbmi.mask_type == 1, bd=dec.bd)
-    return CP.blend_a64_d16_mask(conv0, conv1, mask,
+    if plane == 0:
+        if mbmi.comp_type == COMPOUND_WEDGE:
+            dec._seg_mask = CP.wedge_mask(mbmi.bsize, mbmi.wedge_index,
+                                          mbmi.wedge_sign)
+        else:
+            dec._seg_mask = CP.build_compound_diffwtd_mask_d16(
+                conv0, conv1, mbmi.mask_type == 1, bd=dec.bd)
+    return CP.blend_a64_d16_mask(conv0, conv1, dec._seg_mask,
                                  ss_x if plane else 0, ss_y if plane else 0,
                                  bd=dec.bd)
 
 
-def _predict_warp(dec, xd, mbmi, plane, pre_x, pre_y, bw, bh, ss_x, ss_y):
+def _predict_warp(dec, xd, mbmi, wm, plane, pre_x, pre_y, bw, bh, ss_x,
+                  ss_y):
     """Warped motion / non-translational global motion prediction via
     ops.warp.warp_affine (av1_warp_plane)."""
     from ..ops import warp as WARP
-    if mbmi.motion_mode == WARPED_CAUSAL:
-        wm = mbmi.wm_params
-    else:
-        wm = dec.global_motion[mbmi.ref_frame[0]]
     ref_slot = dec.refs[mbmi.ref_frame[0]]
     plane_buf = ref_slot["planes"][plane]
     crop_w = (ref_slot["upscaled_width"] + ss_x) >> ss_x
@@ -674,3 +697,170 @@ def _predict_warp(dec, xd, mbmi, plane, pre_x, pre_y, bw, bh, ss_x, ss_y):
     return WARP.warp_affine(wm.wmmat, plane_buf[:crop_h, :crop_w], pre_x,
                             pre_y, bw, bh, ss_x, ss_y, wm.alpha, wm.beta,
                             wm.gamma, wm.delta, bd=dec.bd)
+
+
+# ---------------------------------------------------------------------------
+# OBMC (overlapped block motion compensation) — av1_build_obmc_inter_
+# prediction + dec_build_prediction_by_{above,left}_preds
+# ---------------------------------------------------------------------------
+OBMC_MASKS = {
+    1: [64],
+    2: [45, 64],
+    4: [39, 50, 59, 64],
+    8: [36, 42, 48, 53, 57, 61, 64, 64],
+    16: [34, 37, 40, 43, 46, 49, 52, 54, 56, 58, 60, 61, 64, 64, 64, 64],
+    32: [33, 35, 36, 38, 40, 41, 43, 44, 45, 47, 48, 50, 51, 52, 53, 55,
+         56, 57, 58, 59, 60, 60, 61, 62, 64, 64, 64, 64, 64, 64, 64, 64],
+}
+MAX_NEIGHBOR_OBMC = [0, 1, 2, 3, 4, 4]
+
+
+class _ObmcXd:
+    """Edge-clamp context for a neighbor's OBMC prediction."""
+    __slots__ = ("mb_to_left_edge", "mb_to_right_edge", "mb_to_top_edge",
+                 "mb_to_bottom_edge")
+
+
+def _skip_u4x4(bsize, ss_x, ss_y, direction):
+    pb = get_plane_block_size(bsize, ss_x, ss_y)
+    if pb in (0, 1, 2):  # 4x4, 4x8, 8x4
+        return direction == 0
+    return False
+
+
+def obmc_predict(dec, xd, mbmi, is_chroma_ref):
+    """Blend above/left neighbor predictions into the current block's MC
+    prediction (in the frame planes)."""
+    bsize = mbmi.bsize
+    bw4, bh4 = int(MI_W[bsize]), int(MI_H[bsize])
+    bw_px, bh_px = int(BLOCK_WIDTH[bsize]), int(BLOCK_HEIGHT[bsize])
+    mi_row, mi_col = xd.mi_row, xd.mi_col
+
+    def predict_nb(nb, nb_mi_row, nb_mi_col, plane, pre_x, pre_y, w, h,
+                   ss_x, ss_y, edges):
+        nxd = _ObmcXd()
+        (nxd.mb_to_left_edge, nxd.mb_to_right_edge,
+         nxd.mb_to_top_edge, nxd.mb_to_bottom_edge) = edges
+        ref_slot = dec.refs[nb.ref_frame[0]]
+        return _predict_one(dec, nb, ref_slot, nb.mv[0], nxd, plane,
+                            pre_x, pre_y, w, h, ss_x, ss_y, False)
+
+    # ---- above pass ----
+    if xd.up_available:
+        nb_max = MAX_NEIGHBOR_OBMC[bw4.bit_length() - 1]
+        this_height = bh4 * 4
+        pred_height = min(this_height // 2, 32)
+        overlap = min(bh_px, 64) >> 1
+        nb_count = 0
+        end_col = min(mi_col + bw4, dec.mi_cols)
+        col = mi_col
+        while col < end_col and nb_count < nb_max:
+            nb = xd.mi[mi_row - 1, col]
+            step = min(int(MI_W[nb.bsize]), 16)
+            if step == 1:
+                col &= ~1
+                nb = xd.mi[mi_row - 1, col + 1]
+                step = 2
+            if nb.is_inter:
+                nb_count += 1
+                rel_col = col - mi_col
+                op = min(bw4, step)
+                nb2 = _shallow_nb(nb)
+                for plane in range(dec.nplanes):
+                    if plane and not is_chroma_ref:
+                        break
+                    ss_x, ss_y = dec.ss[plane]
+                    if _skip_u4x4(bsize, ss_x, ss_y, 0):
+                        continue
+                    w = (op * 4) >> ss_x
+                    h = MR.clamp(bh_px >> (ss_y + 1), 4, 32 >> ss_y)
+                    pre_x = ((mi_col + rel_col) * 4) >> ss_x
+                    pre_y = (mi_row * 4) >> ss_y
+                    edges = (
+                        -((mi_col + rel_col) * 32),
+                        (dec.mi_cols - bw4 - mi_col) * 32
+                        + (bw4 - rel_col - op) * 32,
+                        -(mi_row * 32),
+                        (dec.mi_rows - bh4 - mi_row) * 32
+                        + (this_height - pred_height) * 8,
+                    )
+                    pred = predict_nb(nb2, mi_row, mi_col + rel_col, plane,
+                                      pre_x, pre_y, w, h, ss_x, ss_y, edges)
+                    # blend with vertical obmc mask over bh_ov rows
+                    bh_ov = overlap >> ss_y
+                    mask = np.array(OBMC_MASKS[bh_ov], np.int32)[:, None]
+                    buf = dec.planes[plane]
+                    y0 = (mi_row * 4) >> ss_y
+                    x0 = ((mi_col + rel_col) * 4) >> ss_x
+                    cur = buf[y0 : y0 + bh_ov, x0 : x0 + w].astype(np.int64)
+                    tmp = pred[:bh_ov].astype(np.int64)
+                    buf[y0 : y0 + bh_ov, x0 : x0 + w] = \
+                        (mask * cur + (64 - mask) * tmp + 32) >> 6
+            col += step
+
+    # ---- left pass ----
+    if xd.left_available:
+        nb_max = MAX_NEIGHBOR_OBMC[bh4.bit_length() - 1]
+        this_width = bw4 * 4
+        pred_width = min(this_width // 2, 32)
+        overlap = min(bw_px, 64) >> 1
+        nb_count = 0
+        end_row = min(mi_row + bh4, dec.mi_rows)
+        row = mi_row
+        while row < end_row and nb_count < nb_max:
+            nb = xd.mi[row, mi_col - 1]
+            step = min(int(MI_H[nb.bsize]), 16)
+            if step == 1:
+                row &= ~1
+                nb = xd.mi[row + 1, mi_col - 1]
+                step = 2
+            if nb.is_inter:
+                nb_count += 1
+                rel_row = row - mi_row
+                op = min(bh4, step)
+                nb2 = _shallow_nb(nb)
+                for plane in range(dec.nplanes):
+                    if plane and not is_chroma_ref:
+                        break
+                    ss_x, ss_y = dec.ss[plane]
+                    if _skip_u4x4(bsize, ss_x, ss_y, 1):
+                        continue
+                    w = MR.clamp(bw_px >> (ss_x + 1), 4, 32 >> ss_x)
+                    h = (op * 4) >> ss_y
+                    pre_x = (mi_col * 4) >> ss_x
+                    pre_y = ((mi_row + rel_row) * 4) >> ss_y
+                    edges = (
+                        -(mi_col * 32),
+                        (dec.mi_cols - bw4 - mi_col) * 32
+                        + (this_width - pred_width) * 8,
+                        -((mi_row + rel_row) * 32),
+                        (dec.mi_rows - bh4 - mi_row) * 32
+                        + (bh4 - rel_row - op) * 32,
+                    )
+                    pred = predict_nb(nb2, mi_row + rel_row, mi_col, plane,
+                                      pre_x, pre_y, w, h, ss_x, ss_y, edges)
+                    bw_ov = overlap >> ss_x
+                    mask = np.array(OBMC_MASKS[bw_ov], np.int32)[None, :]
+                    buf = dec.planes[plane]
+                    y0 = ((mi_row + rel_row) * 4) >> ss_y
+                    x0 = (mi_col * 4) >> ss_x
+                    cur = buf[y0 : y0 + h, x0 : x0 + bw_ov].astype(np.int64)
+                    tmp = pred[:, :bw_ov].astype(np.int64)
+                    buf[y0 : y0 + h, x0 : x0 + bw_ov] = \
+                        (mask * cur + (64 - mask) * tmp + 32) >> 6
+            row += step
+
+
+def _shallow_nb(nb):
+    """av1_modify_neighbor_predictor_for_obmc on a copy."""
+    from ..normative.mvref import MbInfo
+    c = MbInfo()
+    for s in MbInfo.__slots__:
+        try:
+            setattr(c, s, getattr(nb, s))
+        except AttributeError:
+            pass
+    c.ref_frame = [nb.ref_frame[0], MR.NONE_FRAME]
+    c.mv = list(nb.mv)
+    c.comp_type = COMPOUND_AVERAGE
+    return c

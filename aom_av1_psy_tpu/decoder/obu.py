@@ -200,8 +200,10 @@ class Av1Decoder:
                     fwd = (int(mmv[br, bc, 0]), int(mmv[br, bc, 1]))
                     pmv = MR.get_mv_projection(fwd, s2c, roff)
                     # get_block_position
-                    ro = (pmv[0] >> 7) if pmv[0] >= 0 else -((-pmv[0]) >> 7)
-                    co = (pmv[1] >> 7) if pmv[1] >= 0 else -((-pmv[1]) >> 7)
+                    # offsets in 8x8-block units: 1/8-pel mv >> (4 +
+                    # MI_SIZE_LOG2) (mvref_common.c get_block_position)
+                    ro = (pmv[0] >> 6) if pmv[0] >= 0 else -((-pmv[0]) >> 6)
+                    co = (pmv[1] >> 6) if pmv[1] >= 0 else -((-pmv[1]) >> 6)
                     r = br - ro if (dir_ >> 1) == 1 else br + ro
                     c = bc - co if (dir_ >> 1) == 1 else bc + co
                     if not (0 <= r < (self.fdec.mi_rows >> 1)

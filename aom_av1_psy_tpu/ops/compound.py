@@ -158,3 +158,164 @@ def build_compound_diffwtd_mask(src0, src1, inverse: bool = False,
                   - np.asarray(src1).astype(np.int64))
     m = np.clip(mask_base + diff // DIFF_FACTOR, 0, BLEND_A64_MAX_ALPHA)
     return (BLEND_A64_MAX_ALPHA - m) if inverse else m
+
+
+# ---------------------------------------------------------------------------
+# Masked compound: wedge masks, difference-weighted masks, d16 blend
+# (av1/common/reconinter.c init_wedge_master_masks :258,
+#  av1_build_compound_diffwtd_mask_d16_c, aom_lowbd_blend_a64_d16_mask_c)
+# ---------------------------------------------------------------------------
+MASK_MASTER_SIZE = 64
+WEDGE_WEIGHT_BITS = 6
+DIFF_FACTOR = 16
+(WEDGE_HORIZONTAL, WEDGE_VERTICAL, WEDGE_OBLIQUE27, WEDGE_OBLIQUE63,
+ WEDGE_OBLIQUE117, WEDGE_OBLIQUE153) = range(6)
+
+_WEDGE_MASTER_OBLIQUE_ODD = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 6, 18,
+    37, 53, 60, 63, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64,
+    64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64]
+_WEDGE_MASTER_OBLIQUE_EVEN = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 4, 11, 27,
+    46, 58, 62, 63, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64,
+    64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64]
+_WEDGE_MASTER_VERTICAL = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 7, 21,
+    43, 57, 62, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64,
+    64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64, 64]
+
+# wedge codebooks (reconinter.c:198): (direction, x_offset, y_offset)
+_CB_HGTW = [(WEDGE_OBLIQUE27, 4, 4), (WEDGE_OBLIQUE63, 4, 4),
+            (WEDGE_OBLIQUE117, 4, 4), (WEDGE_OBLIQUE153, 4, 4),
+            (WEDGE_HORIZONTAL, 4, 2), (WEDGE_HORIZONTAL, 4, 4),
+            (WEDGE_HORIZONTAL, 4, 6), (WEDGE_VERTICAL, 4, 4),
+            (WEDGE_OBLIQUE27, 4, 2), (WEDGE_OBLIQUE27, 4, 6),
+            (WEDGE_OBLIQUE153, 4, 2), (WEDGE_OBLIQUE153, 4, 6),
+            (WEDGE_OBLIQUE63, 2, 4), (WEDGE_OBLIQUE63, 6, 4),
+            (WEDGE_OBLIQUE117, 2, 4), (WEDGE_OBLIQUE117, 6, 4)]
+_CB_HLTW = [(WEDGE_OBLIQUE27, 4, 4), (WEDGE_OBLIQUE63, 4, 4),
+            (WEDGE_OBLIQUE117, 4, 4), (WEDGE_OBLIQUE153, 4, 4),
+            (WEDGE_VERTICAL, 2, 4), (WEDGE_VERTICAL, 4, 4),
+            (WEDGE_VERTICAL, 6, 4), (WEDGE_HORIZONTAL, 4, 4),
+            (WEDGE_OBLIQUE27, 4, 2), (WEDGE_OBLIQUE27, 4, 6),
+            (WEDGE_OBLIQUE153, 4, 2), (WEDGE_OBLIQUE153, 4, 6),
+            (WEDGE_OBLIQUE63, 2, 4), (WEDGE_OBLIQUE63, 6, 4),
+            (WEDGE_OBLIQUE117, 2, 4), (WEDGE_OBLIQUE117, 6, 4)]
+_CB_HEQW = [(WEDGE_OBLIQUE27, 4, 4), (WEDGE_OBLIQUE63, 4, 4),
+            (WEDGE_OBLIQUE117, 4, 4), (WEDGE_OBLIQUE153, 4, 4),
+            (WEDGE_HORIZONTAL, 4, 2), (WEDGE_HORIZONTAL, 4, 6),
+            (WEDGE_VERTICAL, 2, 4), (WEDGE_VERTICAL, 6, 4),
+            (WEDGE_OBLIQUE27, 4, 2), (WEDGE_OBLIQUE27, 4, 6),
+            (WEDGE_OBLIQUE153, 4, 2), (WEDGE_OBLIQUE153, 4, 6),
+            (WEDGE_OBLIQUE63, 2, 4), (WEDGE_OBLIQUE63, 6, 4),
+            (WEDGE_OBLIQUE117, 2, 4), (WEDGE_OBLIQUE117, 6, 4)]
+
+_SF_HEQW = [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1]
+_SF_HGTW = [1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1]
+_SF_HLTW = [1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1]
+_SF_8X32 = [1, 1, 1, 1, 0, 1, 1, 1, 0, 1, 0, 1, 1, 1, 0, 1]
+_SF_32X8 = [1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1, 0, 1, 0, 1]
+
+# per-bsize wedge params: bsize -> (codebook, signflip)
+WEDGE_PARAMS = {
+    3: (_CB_HEQW, _SF_HEQW),    # 8x8
+    4: (_CB_HGTW, _SF_HGTW),    # 8x16
+    5: (_CB_HLTW, _SF_HLTW),    # 16x8
+    6: (_CB_HEQW, _SF_HEQW),    # 16x16
+    7: (_CB_HGTW, _SF_HGTW),    # 16x32
+    8: (_CB_HLTW, _SF_HLTW),    # 32x16
+    9: (_CB_HEQW, _SF_HEQW),    # 32x32
+    18: (_CB_HGTW, _SF_8X32),   # 8x32
+    19: (_CB_HLTW, _SF_32X8),   # 32x8
+}
+
+_wedge_master = None
+
+
+def _build_wedge_master():
+    """init_wedge_master_masks: [neg][direction] -> (64, 64) uint8."""
+    global _wedge_master
+    if _wedge_master is not None:
+        return _wedge_master
+    m = np.zeros((2, 6, 64, 64), np.uint8)
+    shift = 16
+    for i in range(0, 64, 2):
+        for (row, master) in ((i, _WEDGE_MASTER_OBLIQUE_EVEN),
+                              (i + 1, _WEDGE_MASTER_OBLIQUE_ODD)):
+            s = shift if master is _WEDGE_MASTER_OBLIQUE_EVEN else shift - 1
+            line = np.empty(64, np.uint8)
+            if s >= 0:
+                line[s:] = master[: 64 - s]
+                line[:s] = master[0]
+            else:
+                line[: 64 + s] = master[-s:]
+                line[64 + s :] = master[-1]
+            m[0, WEDGE_OBLIQUE63, row] = line
+        m[0, WEDGE_VERTICAL, i] = _WEDGE_MASTER_VERTICAL
+        m[0, WEDGE_VERTICAL, i + 1] = _WEDGE_MASTER_VERTICAL
+        shift -= 1
+    msk = m[0, WEDGE_OBLIQUE63].astype(np.int32)
+    m[0, WEDGE_OBLIQUE27] = msk.T
+    m[0, WEDGE_OBLIQUE117] = (64 - msk)[:, ::-1]
+    m[0, WEDGE_OBLIQUE153] = (64 - msk)[:, ::-1].T
+    m[1, WEDGE_OBLIQUE63] = 64 - msk
+    m[1, WEDGE_OBLIQUE27] = (64 - msk).T
+    m[1, WEDGE_OBLIQUE117] = msk[:, ::-1]
+    m[1, WEDGE_OBLIQUE153] = msk[:, ::-1].T
+    mv = m[0, WEDGE_VERTICAL].astype(np.int32)
+    m[0, WEDGE_HORIZONTAL] = mv.T
+    m[1, WEDGE_VERTICAL] = 64 - mv
+    m[1, WEDGE_HORIZONTAL] = (64 - mv).T
+    _wedge_master = m
+    return m
+
+
+def wedge_mask(bsize: int, index: int, sign: int) -> np.ndarray:
+    """get_wedge_mask_inplace: (bh, bw) uint8 weights in [0, 64]."""
+    from ..normative.enums import BLOCK_WIDTH, BLOCK_HEIGHT
+    master = _build_wedge_master()
+    cb, sf = WEDGE_PARAMS[bsize]
+    direction, x_off, y_off = cb[index]
+    bw = int(BLOCK_WIDTH[bsize])
+    bh = int(BLOCK_HEIGHT[bsize])
+    woff = (x_off * bw) >> 3
+    hoff = (y_off * bh) >> 3
+    neg = sign ^ sf[index]
+    r0 = 32 - hoff
+    c0 = 32 - woff
+    return master[neg, direction][r0 : r0 + bh, c0 : c0 + bw]
+
+
+def build_compound_diffwtd_mask_d16(conv0, conv1, inverse: bool,
+                                    bd: int = 8) -> np.ndarray:
+    """av1_build_compound_diffwtd_mask_d16_c (mask_base = 38)."""
+    rnd = 2 * FILTER_BITS - ROUND0 - ROUND1_COMPOUND + (bd - 8)
+    diff = np.abs(conv0 - conv1)
+    diff = (diff + (1 << (rnd - 1))) >> rnd
+    m = np.clip(38 + diff // DIFF_FACTOR, 0, 64)
+    return (64 - m if inverse else m).astype(np.uint8)
+
+
+def blend_a64_d16_mask(conv0, conv1, mask, subw: int, subh: int,
+                       bd: int = 8) -> np.ndarray:
+    """aom_lowbd_blend_a64_d16_mask_c: blend two CONV_BUF intermediates
+    under a (possibly luma-sized) 0..64 mask, then round to pixels."""
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    round_offset = (1 << (offset_bits - ROUND1_COMPOUND)) \
+        + (1 << (offset_bits - ROUND1_COMPOUND - 1))
+    round_bits = 2 * FILTER_BITS - ROUND0 - ROUND1_COMPOUND
+    m = mask.astype(np.int32)
+    if subw and subh:
+        m = (m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2]
+             + m[1::2, 1::2] + 2) >> 2
+    elif subw:
+        m = (m[:, 0::2] + m[:, 1::2] + 1) >> 1
+    elif subh:
+        m = (m[0::2, :] + m[1::2, :] + 1) >> 1
+    res = (m * conv0 + (64 - m) * conv1) >> 6
+    res = res - round_offset
+    res = (res + (1 << (round_bits - 1))) >> round_bits
+    return np.clip(res, 0, (1 << bd) - 1)

@@ -150,3 +150,101 @@ def get_shear_params(wm) -> bool:
             >= (1 << WARPEDMODEL_PREC_BITS)):
         return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Warp-model fit from neighbor MV samples (av1_find_projection /
+# find_affine_int, warped_motion.c:894)
+# ---------------------------------------------------------------------------
+LS_MV_MAX = 256
+LS_STEP = 8
+WARPEDMODEL_TRANS_CLAMP = 128 << WARPEDMODEL_PREC_BITS
+WARPEDMODEL_NONDIAGAFFINE_CLAMP = 1 << (WARPEDMODEL_PREC_BITS - 3)
+
+
+def _ls_square(a):
+    return (a * a * 4 + a * 4 * LS_STEP + LS_STEP * LS_STEP * 2) >> 4
+
+
+def _ls_product1(a, b):
+    return (a * b * 4 + (a + b) * 2 * LS_STEP + LS_STEP * LS_STEP) >> 4
+
+
+def _ls_product2(a, b):
+    return (a * b * 4 + (a + b) * 2 * LS_STEP + LS_STEP * LS_STEP * 2) >> 4
+
+
+def _resolve_divisor_64(d: int):
+    shift = d.bit_length() - 1
+    e = d - (1 << shift)
+    if shift > DIV_LUT_BITS:
+        f = (e + (1 << (shift - DIV_LUT_BITS - 1))) >> (shift - DIV_LUT_BITS)
+    else:
+        f = e << (DIV_LUT_BITS - shift)
+    return _DIV_LUT[f], shift + DIV_LUT_PREC_BITS
+
+
+def find_projection(np_samples: int, pts, pts_inref, bw: int, bh: int,
+                    mv, wm, mi_row: int, mi_col: int) -> bool:
+    """Fit the affine model; returns True on success (av1_find_projection
+    returns 0). mv is (row, col) in 1/8 pel; wm is a mvref.WarpModel."""
+    mvy, mvx = mv
+    rsuy = bh // 2 - 1
+    rsux = bw // 2 - 1
+    suy = rsuy * 8
+    sux = rsux * 8
+    duy = suy + mvy
+    dux = sux + mvx
+    A00 = A01 = A11 = 0
+    Bx0 = Bx1 = By0 = By1 = 0
+    for i in range(np_samples):
+        dx = pts_inref[i][0] - dux
+        dy = pts_inref[i][1] - duy
+        sx = pts[i][0] - sux
+        sy = pts[i][1] - suy
+        if abs(sx - dx) < LS_MV_MAX and abs(sy - dy) < LS_MV_MAX:
+            A00 += _ls_square(sx)
+            A01 += _ls_product1(sx, sy)
+            A11 += _ls_square(sy)
+            Bx0 += _ls_product2(sx, dx)
+            Bx1 += _ls_product1(sy, dx)
+            By0 += _ls_product1(sx, dy)
+            By1 += _ls_product2(sy, dy)
+    det = A00 * A11 - A01 * A01
+    if det == 0:
+        return False
+    idet, shift = _resolve_divisor_64(abs(det))
+    if det < 0:
+        idet = -idet
+    shift -= WARPEDMODEL_PREC_BITS
+    if shift < 0:
+        idet <<= -shift
+        shift = 0
+    px0 = A11 * Bx0 - A01 * Bx1
+    px1 = -A01 * Bx0 + A00 * Bx1
+    py0 = A11 * By0 - A01 * By1
+    py1 = -A01 * By0 + A00 * By1
+    c16 = 1 << WARPEDMODEL_PREC_BITS
+    nd = WARPEDMODEL_NONDIAGAFFINE_CLAMP
+
+    def diag(p):
+        return max(c16 - nd + 1, min(c16 + nd - 1, _round2s(p * idet, shift)))
+
+    def ndiag(p):
+        return max(-nd + 1, min(nd - 1, _round2s(p * idet, shift)))
+
+    wm.wmmat[2] = diag(px0)
+    wm.wmmat[3] = ndiag(px1)
+    wm.wmmat[4] = ndiag(py0)
+    wm.wmmat[5] = diag(py1)
+    isuy = mi_row * 4 + rsuy
+    isux = mi_col * 4 + rsux
+    vx = mvx * (1 << (WARPEDMODEL_PREC_BITS - 3)) \
+        - (isux * (wm.wmmat[2] - c16) + isuy * wm.wmmat[3])
+    vy = mvy * (1 << (WARPEDMODEL_PREC_BITS - 3)) \
+        - (isux * wm.wmmat[4] + isuy * (wm.wmmat[5] - c16))
+    wm.wmmat[0] = max(-WARPEDMODEL_TRANS_CLAMP,
+                      min(WARPEDMODEL_TRANS_CLAMP - 1, vx))
+    wm.wmmat[1] = max(-WARPEDMODEL_TRANS_CLAMP,
+                      min(WARPEDMODEL_TRANS_CLAMP - 1, vy))
+    return True

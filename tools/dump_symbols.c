@@ -64,6 +64,78 @@ int main(int argc, char **argv) {
   cfg.g_threads = 1;
   cfg.g_lag_in_frames = 0;
   cfg.g_pass = AOM_RC_ONE_PASS;
+  /* optional two-pass flow (AOM_DS_PASSES=2): stats pass first */
+  aom_fixed_buf_t stats = { NULL, 0 };
+  const char *passes_env = getenv("AOM_DS_PASSES");
+  if (passes_env && atoi(passes_env) == 2) {
+    aom_codec_enc_cfg_t cfg1 = cfg;
+    cfg1.g_pass = AOM_RC_FIRST_PASS;
+    const char *e2;
+    if ((e2 = getenv("AOM_DS_KF_DIST"))) {
+      cfg1.kf_min_dist = 0;
+      cfg1.kf_max_dist = atoi(e2);
+    }
+    if ((e2 = getenv("AOM_DS_LAG"))) cfg1.g_lag_in_frames = atoi(e2);
+    aom_codec_ctx_t c1;
+    if (aom_codec_enc_init(&c1, iface, &cfg1, 0)) die("init pass1");
+    aom_codec_control(&c1, AOME_SET_CPUUSED, cpu_used);
+    aom_image_t img1;
+    if (!aom_img_alloc(&img1, AOM_IMG_FMT_I420, w, h, 1)) die("img1");
+    FILE *fin1 = fopen(argv[1], "rb");
+    int w1, h1;
+    read_y4m_header(fin1, &w1, &h1);
+    size_t fsz1 = (size_t)w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2);
+    static char fb1[1 << 22];
+    int pts1 = 0;
+    for (;;) {
+      char marker1[8];
+      if (!fgets(marker1, sizeof(marker1), fin1)) break;
+      if (strncmp(marker1, "FRAME", 5) != 0) break;
+      if (fread(fb1, 1, fsz1, fin1) != fsz1) break;
+      const unsigned char *s1 = (unsigned char *)fb1;
+      for (int rr = 0; rr < h; rr++)
+        memcpy(img1.planes[0] + rr * img1.stride[0], s1 + (size_t)rr * w, w);
+      s1 += (size_t)w * h;
+      int cw1 = (w + 1) / 2, ch1 = (h + 1) / 2;
+      for (int rr = 0; rr < ch1; rr++)
+        memcpy(img1.planes[1] + rr * img1.stride[1], s1 + (size_t)rr * cw1, cw1);
+      s1 += (size_t)cw1 * ch1;
+      for (int rr = 0; rr < ch1; rr++)
+        memcpy(img1.planes[2] + rr * img1.stride[2], s1 + (size_t)rr * cw1, cw1);
+      aom_codec_encode(&c1, &img1, pts1++, 1, 0);
+      const aom_codec_cx_pkt_t *pk;
+      aom_codec_iter_t it = NULL;
+      while ((pk = aom_codec_get_cx_data(&c1, &it)) != NULL) {
+        if (pk->kind == AOM_CODEC_STATS_PKT) {
+          stats.buf = realloc(stats.buf, stats.sz + pk->data.twopass_stats.sz);
+          memcpy((char *)stats.buf + stats.sz, pk->data.twopass_stats.buf,
+                 pk->data.twopass_stats.sz);
+          stats.sz += pk->data.twopass_stats.sz;
+        }
+      }
+    }
+    while (aom_codec_encode(&c1, NULL, -1, 1, 0) == AOM_CODEC_OK) {
+      const aom_codec_cx_pkt_t *pk;
+      aom_codec_iter_t it = NULL;
+      int got1 = 0;
+      while ((pk = aom_codec_get_cx_data(&c1, &it)) != NULL) {
+        got1 = 1;
+        if (pk->kind == AOM_CODEC_STATS_PKT) {
+          stats.buf = realloc(stats.buf, stats.sz + pk->data.twopass_stats.sz);
+          memcpy((char *)stats.buf + stats.sz, pk->data.twopass_stats.buf,
+                 pk->data.twopass_stats.sz);
+          stats.sz += pk->data.twopass_stats.sz;
+        }
+      }
+      if (!got1) break;
+    }
+    fclose(fin1);
+    aom_codec_destroy(&c1);
+    aom_img_free(&img1);
+    cfg.g_pass = AOM_RC_LAST_PASS;
+    cfg.rc_twopass_stats_in = stats;
+    cfg.g_lag_in_frames = 19;
+  }
   cfg.kf_min_dist = 0;
   cfg.kf_max_dist = 1;
   cfg.rc_end_usage = AOM_Q;
@@ -187,6 +259,18 @@ int main(int argc, char **argv) {
         write_u32(ivf, pts); write_u32(ivf, 0);
         fwrite(pkt->data.frame.buf, 1, pkt->data.frame.sz, ivf);
         frame_count++;
+        int qw = bitstream_queue_get_write();
+        int marker2[2] = { -1, qw - prev_queue_w };
+        fwrite(marker2, sizeof(int), 2, syms);
+        for (int i = prev_queue_w; i != qw; i = (i + 1)) {
+          int result, nsymbs;
+          aom_cdf_prob cdf[16];
+          bitstream_queue_pop(&result, cdf, &nsymbs);
+          int rec[2] = { result, nsymbs };
+          fwrite(rec, sizeof(int), 2, syms);
+          fwrite(cdf, sizeof(aom_cdf_prob), 16, syms);
+        }
+        prev_queue_w = qw;
       }
     }
     if (!got) break;

@@ -23,7 +23,10 @@ while pos < len(raw):
     frames_syms.append(entries)
 print("frames in syms:", len(frames_syms), "counts:", [len(f) for f in frames_syms])
 
-state = {"frame": 0, "idx": 0, "mismatch": None}
+# a temporal unit may contain several coded frames (one syms marker per
+# packet), so compare against the FLAT symbol sequence
+flat = [e for f in frames_syms for e in f]
+state = {"frame": 0, "idx": 0, "mismatch": None, "flat": 0}
 
 class CheckingDecoder:
     def __init__(self, data):
@@ -37,20 +40,20 @@ class CheckingDecoder:
         self.allow_update_ = v
         self.d.allow_update = v
     def _check(self, val, nsyms, cdf_before):
-        fs = frames_syms[state["frame"]]
-        i = state["idx"]
+        i = state["flat"]
         if state["mismatch"]: return
-        if i >= len(fs):
+        if i >= len(flat):
             state["mismatch"] = (i, "overrun", val, nsyms); raise SystemExit(f"OVERRUN at {i}")
-        r, n, cdf = fs[i]
+        r, n, cdf = flat[i]
         ok = (r == val and n == nsyms)
         if ok and cdf_before is not None and n > 1:
             ok = bool((cdf[:n-1] == np.asarray(cdf_before[:n-1], np.uint16)).all())
         if not ok:
-            print(f"MISMATCH frame{state['frame']} sym#{i}: ref=(val {r}, n {n}, cdf {cdf[:max(n,2)]}) ours=(val {val}, n {nsyms}, cdf {None if cdf_before is None else np.asarray(cdf_before)[:max(nsyms,2)]})")
+            print(f"MISMATCH flat-sym#{i}: ref=(val {r}, n {n}, cdf {cdf[:max(n,2)]}) ours=(val {val}, n {nsyms}, cdf {None if cdf_before is None else np.asarray(cdf_before)[:max(nsyms,2)]})")
             import traceback; traceback.print_stack()
             raise SystemExit(1)
         state["idx"] += 1
+        state["flat"] += 1
     def decode_symbol(self, icdf, nsyms, allow_update=None):
         before = np.array(icdf[:nsyms], np.uint16).copy()
         au = self.allow_update_ if allow_update is None else allow_update
@@ -76,13 +79,7 @@ class CheckingDecoder:
         return self.d.tell()
 
 orig_make = NC.make_decoder
-first = [True]
 def make_checking(data):
-    if not first[0]:
-        fs = frames_syms[state["frame"]]
-        print(f"frame {state['frame']}: consumed {state['idx']}/{len(fs)} symbols")
-        state["frame"] += 1
-    first[0] = False
     state["idx"] = 0
     return CheckingDecoder(data)
 NC.make_decoder = make_checking
@@ -100,6 +97,5 @@ def tile_wrap(self, *a, **k):
 DF.FrameDecoder.decode_tile = tile_wrap
 
 frames = O.decode_ivf(ivf_path)
-fs = frames_syms[state["frame"]]
-print(f"frame {state['frame']}: consumed {state['idx']}/{len(fs)} symbols")
-print("ALL SYMBOLS MATCH" if state["mismatch"] is None else "MISMATCHED")
+print(f"consumed {state['flat']}/{len(flat)} symbols")
+print("ALL SYMBOLS MATCH" if state["mismatch"] is None and state["flat"] == len(flat) else "MISMATCHED/INCOMPLETE")
