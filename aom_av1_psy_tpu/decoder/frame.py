@@ -1459,12 +1459,24 @@ class FrameDecoder:
         IT.assign_mv(self, mbmi, ref_mv, nearest_mv, near_mv, gm_mv,
                      precision)
 
-        # interintra
+        # interintra (decodemv.c:1382 read_interintra flag + mode + wedge)
         if self.seq.enable_interintra_compound and not mbmi.skip_mode \
                 and self._interintra_allowed(mbmi):
             grp = int(IT.SIZE_GROUP[bsize])
             if self._read_symbol(fc.interintra_cdf[grp], 2):
-                raise NotImplementedError("interintra decode")
+                mbmi.interintra_mode = self._read_symbol(
+                    fc.interintra_mode_cdf[grp], 4)
+                mbmi.ref_frame[1] = MR.INTRA_FRAME
+                mbmi.angle_y = 0
+                mbmi.angle_uv = 0
+                mbmi.filter_intra = -1
+                mbmi.use_wedge_interintra = 0
+                if self._wedge_allowed(bsize):
+                    mbmi.use_wedge_interintra = self._read_symbol(
+                        fc.wedge_interintra_cdf[bsize], 2)
+                    if mbmi.use_wedge_interintra:
+                        mbmi.interintra_wedge_index = self._read_symbol(
+                            fc.wedge_idx_cdf[bsize], 16)
 
         # motion mode
         overlappable = 0
@@ -1518,10 +1530,14 @@ class FrameDecoder:
             self._derive_warp_params(mbmi, xd)
 
     def _interintra_allowed(self, mbmi):
-        bw, bh = int(BLOCK_WIDTH[mbmi.bsize]), int(BLOCK_HEIGHT[mbmi.bsize])
-        return (mbmi.ref_frame[1] == -1 and not mbmi.is_compound
-                and 8 <= bw <= 32 and 8 <= bh <= 32
-                and mbmi.ref_frame[0] > 0)
+        """is_interintra_allowed (blockd.h): bsize is an ENUM-ORDER range
+        BLOCK_8X8..BLOCK_32X32 (excludes 8X32/32X8), single-ref inter mode,
+        rf[0] inter + rf[1] none/intra."""
+        from ..normative import mvref as MR
+        from ..normative.enums import BlockSize as BS
+        return (BS.BLOCK_8X8 <= mbmi.bsize <= BS.BLOCK_32X32
+                and MR.NEARESTMV <= mbmi.mode <= MR.NEWMV
+                and mbmi.ref_frame[0] > 0 and mbmi.ref_frame[1] <= 0)
 
     def _masked_compound_allowed(self, bsize):
         # is_any_masked_compound_used == is_comp_ref_allowed (DIFFWTD is
@@ -1655,8 +1671,41 @@ class FrameDecoder:
             dst_y = (ay_mi * 4) >> sy
             IT.build_inter_predictors(self, xd, mbmi, plane,
                                       self.planes[plane], dst_x, dst_y)
+            if mbmi.ref_frame[1] == 0:  # INTRA_FRAME: interintra block
+                self._build_interintra(mbmi, xd, plane, dst_x, dst_y)
         if mbmi.motion_mode == IT.OBMC_CAUSAL:
             self._obmc_prediction(mbmi, xd, is_chroma_ref)
+
+    # interintra_to_intra_mode (reconinter.h): DC, V, H, SMOOTH
+    _II_TO_INTRA = (0, 1, 2, 9)
+
+    def _build_interintra(self, mbmi, xd, plane, dst_x, dst_y):
+        """av1_build_interintra_predictor (reconinter.c:1152): one intra
+        prediction covering the whole plane block (tx = max rect tx, edges
+        from the recon frame), masked-blended onto the inter pred in dst."""
+        from ..ops import compound as CP
+        sx, sy = self.ss[plane]
+        bsize = mbmi.bsize
+        pbs = get_plane_block_size(bsize, sx, sy)
+        tx_size = int(MAX_TXSIZE_RECT[pbs])
+        mode = self._II_TO_INTRA[mbmi.interintra_mode]
+        up, left = xd.up_available, xd.left_available
+        intra = self._predict_intra(
+            plane, dst_x, dst_y, tx_size, mode, 0, None, 0, 0, bsize,
+            up, left, up, left, mbmi.partition, mbmi.mi_row, mbmi.mi_col)
+        bw = int(BLOCK_WIDTH[pbs])
+        bh = int(BLOCK_HEIGHT[pbs])
+        buf = self.planes[plane]
+        inter = buf[dst_y : dst_y + bh, dst_x : dst_x + bw]
+        if mbmi.use_wedge_interintra:
+            # INTERINTRA_WEDGE_SIGN = 0 (blockd.h:40); luma-sized mask
+            mask = CP.wedge_mask(bsize, mbmi.interintra_wedge_index, 0)
+            comp = CP.blend_a64_mask(intra[:bh, :bw], inter, mask,
+                                     sx if plane else 0, sy if plane else 0)
+        else:
+            mask = CP.smooth_interintra_mask(mbmi.interintra_mode, pbs)
+            comp = CP.blend_a64_mask(intra[:bh, :bw], inter, mask, 0, 0)
+        buf[dst_y : dst_y + bh, dst_x : dst_x + bw] = comp
 
     def _obmc_prediction(self, mbmi, xd, is_chroma_ref):
         from . import inter as IT

@@ -319,3 +319,40 @@ def blend_a64_d16_mask(conv0, conv1, mask, subw: int, subh: int,
     res = res - round_offset
     res = (res + (1 << (round_bits - 1))) >> round_bits
     return np.clip(res, 0, (1 << bd) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Interintra (reconinter.c:516 ii_weights1d / :532 build_smooth_interintra_mask)
+II_WEIGHTS_1D = np.array([
+    60, 58, 56, 54, 52, 50, 48, 47, 45, 44, 42, 41, 39, 38, 37, 35, 34, 33,
+    32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 22, 21, 20, 19, 19, 18, 18,
+    17, 16, 16, 15, 15, 14, 14, 13, 13, 12, 12, 12, 11, 11, 10, 10, 10, 9,
+    9, 9, 8, 8, 8, 8, 7, 7, 7, 7, 6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 4, 4, 4, 4,
+    4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1], np.uint8)
+
+II_SIZE_SCALES = np.array([32, 16, 16, 16, 8, 8, 8, 4, 4, 4, 2, 2, 2, 1, 1,
+                           1, 8, 8, 4, 4, 2, 2], np.int32)
+
+II_DC_PRED, II_V_PRED, II_H_PRED, II_SMOOTH_PRED = range(4)
+
+
+def smooth_interintra_mask(mode: int, plane_bsize: int) -> np.ndarray:
+    """build_smooth_interintra_mask: (bh, bw) 0..64 weights for the intra
+    side of a non-wedge interintra blend."""
+    from ..normative.enums import BLOCK_WIDTH, BLOCK_HEIGHT
+    bw = int(BLOCK_WIDTH[plane_bsize])
+    bh = int(BLOCK_HEIGHT[plane_bsize])
+    scale = int(II_SIZE_SCALES[plane_bsize])
+    if mode == II_V_PRED:
+        col = II_WEIGHTS_1D[np.arange(bh) * scale]
+        return np.broadcast_to(col[:, None], (bh, bw)).copy()
+    if mode == II_H_PRED:
+        row = II_WEIGHTS_1D[np.arange(bw) * scale]
+        return np.broadcast_to(row[None, :], (bh, bw)).copy()
+    if mode == II_SMOOTH_PRED:
+        i = np.arange(bh)[:, None]
+        j = np.arange(bw)[None, :]
+        return II_WEIGHTS_1D[np.minimum(i, j) * scale]
+    return np.full((bh, bw), 32, np.uint8)

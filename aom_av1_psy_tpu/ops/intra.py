@@ -371,9 +371,13 @@ def build_intra_predictor(above_ref, left_ref, top_left_ref, n_top_px,
     if use_filter_intra:
         need_left = need_above = need_above_left = True
 
-    # 16-slot guard + edge data, defaults 127 above / 129 left
-    above_row = np.full(16 + w + h + 16, 127, np.int32)
-    left_col = np.full(16 + w + h + 16, 129, np.int32)
+    # 16-slot guard + edge data, defaults 127 above / 129 left.  Sized for
+    # the worst case 2*max(w,h) (n_top+n_topright can reach 2w on wide tx
+    # shapes like 64x16 where w+h is too small; reference uses
+    # above_data[MAX_TX_SIZE*2+32], reconintra.c)
+    edge_len = 16 + 2 * max(w, h) + 16
+    above_row = np.full(edge_len, 127, np.int32)
+    left_col = np.full(edge_len, 129, np.int32)
     AOFF = 16  # above_row[AOFF] is position 0
     LOFF = 16
 
