@@ -1010,6 +1010,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader,
             w.f(int(fh.showable_frame), 1)
         if not (fh.frame_type == 3 or (fh.frame_type == 0 and fh.show_frame)):
             w.f(int(fh.error_resilient_mode), 1)
+    frame_is_intra = fh.frame_type in (0, 2)
     w.f(int(fh.disable_cdf_update), 1)
     if seq.seq_force_screen_content_tools == 2:
         w.f(int(fh.allow_screen_content_tools), 1)
@@ -1019,12 +1020,24 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader,
         w.f(int(fh.frame_size_override), 1)
     if seq.enable_order_hint:
         w.f(fh.order_hint, seq.order_hint_bits)
+    if not seq.reduced_still_picture_header and not fh.error_resilient_mode \
+            and not frame_is_intra:
+        w.f(fh.primary_ref_frame, 3)
     if fh.frame_type == 2:
         w.f(fh.refresh_frame_flags, 8)
-    if (fh.refresh_frame_flags != 0xFF
-            and fh.error_resilient_mode and seq.enable_order_hint):
+    elif fh.frame_type == 1:
+        w.f(fh.refresh_frame_flags, 8)
+    if (not frame_is_intra or fh.refresh_frame_flags != 0xFF) \
+            and fh.error_resilient_mode and seq.enable_order_hint:
         for _ in range(8):
             w.f(0, seq.order_hint_bits)
+    if not frame_is_intra:
+        if seq.enable_order_hint:
+            w.f(0, 1)  # frame_refs_short_signaling
+        for i in range(7):
+            w.f(fh.ref_frame_idx[i], 3)
+        if fh.frame_size_override and not fh.error_resilient_mode:
+            raise NotImplementedError("frame size with refs write")
     if fh.frame_size_override:
         w.f((fh.upscaled_width or fh.width) - 1, seq.frame_width_bits)
         w.f(fh.height - 1, seq.frame_height_bits)
@@ -1033,8 +1046,19 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader,
         if fh.use_superres:
             w.f(fh.superres_denom - SUPERRES_DENOM_MIN, SUPERRES_DENOM_BITS)
     w.f(0, 1)  # render_and_frame_size_different
-    if fh.allow_screen_content_tools and not fh.use_superres:
-        w.f(int(fh.allow_intrabc), 1)
+    if frame_is_intra:
+        if fh.allow_screen_content_tools and not fh.use_superres:
+            w.f(int(fh.allow_intrabc), 1)
+    else:
+        if not fh.force_integer_mv:
+            w.f(int(fh.allow_high_precision_mv), 1)
+        w.f(int(fh.is_filter_switchable), 1)
+        if not fh.is_filter_switchable:
+            w.f(fh.interp_filter, 2)
+        w.f(int(fh.is_motion_mode_switchable), 1)
+        if not fh.error_resilient_mode and seq.enable_ref_frame_mvs \
+                and seq.enable_order_hint:
+            w.f(int(fh.allow_ref_frame_mvs), 1)
     if not (seq.reduced_still_picture_header or fh.disable_cdf_update):
         w.f(int(fh.disable_frame_end_update_cdf), 1)
     write_tile_info(w, seq, fh.tiles, fh.width, fh.height)
@@ -1106,7 +1130,21 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader,
                 w.f(fh.lr_uv_shift, 1)
     if not coded_lossless:
         w.f(int(fh.tx_mode_select), 1)
+    if not frame_is_intra:
+        w.f(int(fh.reference_select), 1)
+        # skip_mode_params: with order hints disabled or reference_select
+        # off, skip mode is never allowed -> no bit (av1_setup_skip_mode_allowed)
+        if seq.enable_order_hint and fh.reference_select:
+            raise NotImplementedError("skip-mode-present write")
+        if not fh.error_resilient_mode and seq.enable_warped_motion:
+            w.f(int(fh.allow_warped_motion), 1)
     w.f(int(fh.reduced_tx_set), 1)
+    if not frame_is_intra:
+        # global motion params: identity models only on the write side
+        for frame in range(1, 8):
+            gm = fh.global_motion[frame] if fh.global_motion else None
+            assert gm is None or gm.wmtype == 0, "non-identity GM write"
+            w.f(0, 1)  # is_global
     if seq.film_grain_params_present and (fh.show_frame or fh.showable_frame):
         write_film_grain_params(w, seq, fh,
                                 fh.film_grain or FilmGrainParams(

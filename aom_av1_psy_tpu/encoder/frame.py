@@ -148,8 +148,8 @@ class FrameEncoder:
         return seq, fh
 
     # ------------------------------------------------------------------
-    def encode(self) -> bytes:
-        """Returns a full temporal unit (TD + sequence header + frame OBU)."""
+    def encode(self, include_seq: bool = True) -> bytes:
+        """Returns a full temporal unit (TD [+ sequence header] + frame OBU)."""
         seq, fh = self.make_headers()
         self.seq, self.fh = seq, fh
         self.fc = FrameContext(self.cfg.base_q_idx)
@@ -174,11 +174,14 @@ class FrameEncoder:
 
         # assemble OBUs
         td = bytes([0x12, 0x00])  # temporal delimiter w/ size 0
-        w = BitWriter()
-        seq.write(w)
-        w.trailing_bits()
-        seq_payload = w.data()
-        seq_obu = bytes([0x0A]) + write_leb128(len(seq_payload)) + seq_payload
+        seq_obu = b""
+        if include_seq:
+            w = BitWriter()
+            seq.write(w)
+            w.trailing_bits()
+            seq_payload = w.data()
+            seq_obu = bytes([0x0A]) + write_leb128(len(seq_payload)) \
+                + seq_payload
         w = BitWriter()
         write_frame_header(w, seq, fh)
         w.byte_align()
@@ -300,6 +303,51 @@ class FrameEncoder:
 
     def _ef_type(self, plane):
         return self.ef_types[1 if plane else 0]
+
+    def _edge_counts(self, plane, bsize, mi_row, mi_col, tx_size, blk_row,
+                     blk_col, have_top, have_left, pmode, angle_delta, x, y):
+        """Decoder-identical edge-pixel counts including top-right /
+        bottom-left availability (mirrors the decoder's predict_intra
+        set-up; reconintra.c av1_predict_intra_block).  The encoder's
+        in-loop recon must match the decoder's bit-exactly, so the edge
+        extension decisions are shared via normative/intra_avail."""
+        from ..normative import intra_avail as IA
+        from ..normative.enums import MODE_TO_ANGLE
+        sx, sy = self.ss[plane]
+        txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
+        bsize_eff = scale_chroma_bsize(bsize, sx, sy) if (sx or sy) else bsize
+        bx, by = blk_col * 4, blk_row * 4
+        frame_w = (self.mi_cols * 4) >> sx
+        frame_h = (self.mi_rows * 4) >> sy
+        xr = frame_w - (x - bx) - bx - txw
+        yd = frame_h - (y - by) - by - txh
+        wu, hu = int(TX_WIDE_UNIT[tx_size]), int(TX_HIGH_UNIT[tx_size])
+        right_avail = (mi_col + ((blk_col + wu) << sx)) < self.mi_cols
+        bottom_avail = yd > 0 and (
+            (mi_row + ((blk_row + hu) << sy)) < self.mi_rows)
+        mode_e = PredictionMode(pmode)
+        need = intra_ops.EXTEND_MODES[mode_e]
+        need_tr = bool(need & intra_ops.NEED_ABOVERIGHT)
+        need_bl = bool(need & intra_ops.NEED_BOTTOMLEFT)
+        if is_directional_mode(pmode):
+            p_angle = MODE_TO_ANGLE.get(mode_e, 0) + angle_delta * 3
+            need_tr = p_angle < 90
+            need_bl = p_angle > 180
+        have_tr = -1
+        if need_tr:
+            have_tr = IA.has_top_right(
+                self.sb_mi, bsize_eff, mi_row, mi_col, have_top, right_avail,
+                Partition.NONE, tx_size, blk_row, blk_col, sx, sy)
+        have_bl = -1
+        if need_bl:
+            have_bl = IA.has_bottom_left(
+                self.sb_mi, bsize_eff, mi_row, mi_col, bottom_avail,
+                have_left, Partition.NONE, tx_size, blk_row, blk_col, sx, sy)
+        n_top = min(txw, xr + txw) if have_top else 0
+        n_tr = min(txw, xr) if have_tr > 0 else have_tr
+        n_left = min(txh, yd + txh) if have_left else 0
+        n_bl = min(txh, yd) if have_bl > 0 else have_bl
+        return n_top, n_tr, n_left, n_bl
 
     # ------------------------------------------------------------------
     def encode_block(self, mi_row, mi_col, bsize):
@@ -464,12 +512,16 @@ class FrameEncoder:
         x, y = mi_col * 4, mi_row * 4
         tx_size = self._y_tx_size(bsize)
         txw, txh = int(TX_WIDTH[tx_size]), int(TX_HEIGHT[tx_size])
-        n_top = txw if up else 0
-        n_left = txh if left else 0
         src = self.srcp[0][y : y + txh, x : x + txw]
         vh, vw = src.shape  # clipped at the mi-aligned frame edge
+        # inter-mode neighbours (mode > PAETH, inter frames) fall back to DC
+        # for the kf-ctx rate estimate (the write path uses y_mode_cdf there)
         above_mode = int(self.mi_mode[mi_row - 1, mi_col]) if up else 0
         left_mode = int(self.mi_mode[mi_row, mi_col - 1]) if left else 0
+        if above_mode > 12:
+            above_mode = 0
+        if left_mode > 12:
+            left_mode = 0
         actx = int(INTRA_MODE_CONTEXT[above_mode if up else 0])
         lctx = int(INTRA_MODE_CONTEXT[left_mode if left else 0])
         rdmult = self._block_rdmult(mi_row, mi_col, bsize)
@@ -477,8 +529,11 @@ class FrameEncoder:
         full_src = self._src_block(0, x, y, txw, txh)
 
         def rd_trial(mode, angle, tx_type):
-            pred = self._predict(0, x, y, tx_size, mode, up, left, n_top, -1,
-                                 n_left, -1, angle)
+            nt, ntr, nl, nbl = self._edge_counts(
+                0, bsize, mi_row, mi_col, tx_size, 0, 0, up, left, mode,
+                angle, x, y)
+            pred = self._predict(0, x, y, tx_size, mode, up, left, nt, ntr,
+                                 nl, nbl, angle)
             levels, eob, tt = self._tq_levels(full_src, pred, 0, tx_size,
                                               tx_type)
             rec = self._recon_from_levels(levels, eob, pred, 0, tx_size, tt)
@@ -505,8 +560,11 @@ class FrameEncoder:
             if is_directional_mode(mode) and bsize < BlockSize.BLOCK_8X8:
                 continue
             if not self.cfg.rd_modes or self.lossless:
-                pred = self._predict(0, x, y, tx_size, mode, up, left, n_top,
-                                     -1, n_left, -1)
+                nt, ntr, nl, nbl = self._edge_counts(
+                    0, bsize, mi_row, mi_col, tx_size, 0, 0, up, left, mode,
+                    0, x, y)
+                pred = self._predict(0, x, y, tx_size, mode, up, left, nt,
+                                     ntr, nl, nbl)
                 score = int(((pred[:vh, :vw] - src) ** 2).sum())
             else:
                 score = rd_trial(mode, 0, 0)
@@ -562,10 +620,11 @@ class FrameEncoder:
             for plane in (1, 2):
                 have_top = chroma_up
                 have_left = chroma_left
-                n_top = txw if have_top else 0
-                n_left = txh if have_left else 0
+                n_top, n_tr, n_left, n_bl = self._edge_counts(
+                    plane, bsize, mi_row, mi_col, tx_size, 0, 0, have_top,
+                    have_left, mode, 0, x, y)
                 pred = self._predict(plane, x, y, tx_size, mode, have_top,
-                                     have_left, n_top, -1, n_left, -1)
+                                     have_left, n_top, n_tr, n_left, n_bl)
                 src = self._src_block(plane, x, y, txw, txh)
                 levels, eob, tx_type = self._tq_levels(
                     src, pred, plane, tx_size,
@@ -642,17 +701,12 @@ class FrameEncoder:
         pmode = mode if plane == 0 else uv_mode
         have_top = blk_row > 0 or (chroma_up if plane else up)
         have_left = blk_col > 0 or (chroma_left if plane else left)
-        # mirror the decoder's xr/yd edge clipping exactly
-        frame_w = (self.mi_cols * 4) >> sx
-        frame_h = (self.mi_rows * 4) >> sy
-        bx, by = blk_col * 4, blk_row * 4
-        xr = frame_w - (x - bx) - bx - txw
-        yd = frame_h - (y - by) - by - txh
-        n_top = min(txw, xr + txw) if have_top else 0
-        n_left = min(txh, yd + txh) if have_left else 0
+        angle = angle_y if plane == 0 else 0
+        n_top, n_tr, n_left, n_bl = self._edge_counts(
+            plane, bsize, mi_row, mi_col, tx_size, blk_row, blk_col,
+            have_top, have_left, pmode, angle, x, y)
         pred = self._predict(plane, x, y, tx_size, pmode, have_top, have_left,
-                             n_top, -1, n_left, -1,
-                             angle_y if plane == 0 else 0)
+                             n_top, n_tr, n_left, n_bl, angle)
 
         src = self._src_block(plane, x, y, txw, txh)
         want_tt = txty if plane == 0 else self._uv_tx_type(uv_mode, tx_size)
@@ -715,8 +769,13 @@ class FrameEncoder:
         lf = self.fh.lf
         eval_plane(0, lambda v: setattr(lf, "filter_level", (v, v)))
         if self.nplanes > 1:
-            eval_plane(1, lambda v: setattr(lf, "filter_level_u", v))
-            eval_plane(2, lambda v: setattr(lf, "filter_level_v", v))
+            if lf.filter_level == (0, 0):
+                # chroma levels are only coded when a luma level is nonzero
+                # (spec loop_filter_params); unsignalable -> force 0
+                lf.filter_level_u = lf.filter_level_v = 0
+            else:
+                eval_plane(1, lambda v: setattr(lf, "filter_level_u", v))
+                eval_plane(2, lambda v: setattr(lf, "filter_level_v", v))
         # apply the chosen filtering to the recon (in-loop state)
         for p in range(self.nplanes):
             deblock.loop_filter_plane(self.planes[p], p, info, self.fh,

@@ -1,0 +1,112 @@
+"""Inter (IPPP) encoder end-to-end tests.
+
+The encoder's in-loop reconstruction must match our decoder bit-exactly
+(drift-free closed loop), the stream must decode in the reference aomdec
+to the same pixels, and inter coding must beat all-intra on static /
+panning content (reference analogue: test/end_to_end_psnr_test.cc,
+coding_path_sync.cc)."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aom_av1_psy_tpu.utils.frame import Frame
+from aom_av1_psy_tpu.encoder.frame import EncoderConfig
+from aom_av1_psy_tpu.encoder.interframe import encode_video
+from aom_av1_psy_tpu.decoder.obu import Av1Decoder
+
+AOMDEC = "/tmp/refbuild/aomdec"
+
+
+def panning_frames(w, h, n, seed=3):
+    """Textured scene panning 2px/frame horizontally, 1px vertically."""
+    rng = np.random.default_rng(seed)
+    pad = 4 * n
+    base = rng.integers(0, 256, (h + pad, w + pad)).astype(np.float32)
+    # low-pass so motion search has gradients to lock onto
+    k = np.ones(7) / 7
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, base)
+    base = base.clip(0, 255).astype(np.uint8)
+    out = []
+    for i in range(n):
+        y = base[i : i + h, 2 * i : 2 * i + w].copy()
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        u = np.full((ch, cw), 90 + i, np.uint8)
+        v = np.full((ch, cw), 150 - i, np.uint8)
+        out.append(Frame(y, u, v))
+    return out
+
+
+def _decode_all(packets):
+    dec = Av1Decoder()
+    out = []
+    for p in packets:
+        out.extend(dec.decode_packet(p))
+    return out
+
+
+@pytest.mark.parametrize("w,h,q", [(64, 64, 60), (96, 72, 120)])
+def test_inter_closed_loop(w, h, q):
+    """Encoder in-loop recon == our decoder recon on every frame/plane."""
+    src = panning_frames(w, h, 4)
+    packets, recons = encode_video(src, EncoderConfig(base_q_idx=q))
+    dec = _decode_all(packets)
+    assert len(dec) == len(src)
+    for i, f in enumerate(dec):
+        for pi, name in enumerate("yuv"):
+            got = getattr(f, name)
+            want = recons[i][pi][: got.shape[0], : got.shape[1]]
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"frame {i} plane {name}")
+
+
+def test_inter_beats_intra_on_static():
+    """A static clip must cost measurably fewer bits inter than all-intra
+    (VERDICT r1 task-3 done-criterion)."""
+    src = panning_frames(96, 72, 4, seed=5)
+    static = [src[0]] * 4
+    cfg = EncoderConfig(base_q_idx=80)
+    inter_pkts, _ = encode_video(static, cfg)
+    intra_pkts, _ = encode_video(static, cfg, key_interval=1)
+    inter_bits = sum(len(p) for p in inter_pkts)
+    intra_bits = sum(len(p) for p in intra_pkts)
+    assert inter_bits < 0.5 * intra_bits, (inter_bits, intra_bits)
+
+
+def test_mid_gop_keyframe():
+    src = panning_frames(64, 64, 5)
+    packets, recons = encode_video(src, EncoderConfig(base_q_idx=90),
+                                   key_interval=2)
+    dec = _decode_all(packets)
+    assert len(dec) == len(src)
+    for i, f in enumerate(dec):
+        np.testing.assert_array_equal(f.y, recons[i][0][: f.y.shape[0],
+                                                        : f.y.shape[1]])
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+@pytest.mark.parametrize("q", [60, 120])
+def test_inter_aomdec_conformance(tmp_path, q):
+    w, h = 96, 72
+    src = panning_frames(w, h, 4)
+    path = str(tmp_path / "inter.ivf")
+    _, recons = encode_video(src, EncoderConfig(base_q_idx=q), path)
+    out = str(tmp_path / "o.yuv")
+    subprocess.check_call([AOMDEC, "--rawvideo", "-o", out, path],
+                          stderr=subprocess.DEVNULL)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    fsz = w * h + 2 * cw * ch
+    raw = np.fromfile(out, np.uint8)
+    assert len(raw) == fsz * len(src)
+    for i, rec in enumerate(recons):
+        off = i * fsz
+        np.testing.assert_array_equal(
+            rec[0][:h, :w], raw[off : off + w * h].reshape(h, w))
+        np.testing.assert_array_equal(
+            rec[1][:ch, :cw],
+            raw[off + w * h : off + w * h + cw * ch].reshape(ch, cw))
+        np.testing.assert_array_equal(
+            rec[2][:ch, :cw], raw[off + w * h + cw * ch : off + fsz]
+            .reshape(ch, cw))
