@@ -158,6 +158,45 @@ def native_coeff_loop(enc: "NativeEncoder", coeff_flat: np.ndarray,
         _ptr(dc_sign_cdf)))
 
 
+class KfPackParams(ctypes.Structure):
+    """ctypes mirror of KfPackParams in native/ec.cpp (field order must
+    match exactly; all members are 8 bytes so there is no padding)."""
+
+    _fields_ = (
+        [(n, ctypes.c_void_p) for n in (
+            "y_mode", "uv_mode", "skip", "y_levels", "y_eob", "uv_levels",
+            "uv_eob", "y_scan", "uv_scan", "y_nzoff", "uv_nzoff",
+            "eob_group_start", "eob_offset_bits", "intra_mode_ctx",
+            "part_cdf", "skip_cdf", "kf_y_cdf", "angle_cdf", "uv_cdf",
+            "ext_tx_cdf", "y_txb_skip", "uv_txb_skip", "y_eob_cdf",
+            "uv_eob_cdf", "y_eob_extra", "uv_eob_extra", "y_base_eob",
+            "uv_base_eob", "y_base", "uv_base", "y_br", "uv_br",
+            "y_dc_sign", "uv_dc_sign")]
+        + [(n, ctypes.c_int64) for n in (
+            "R", "C", "bs", "mi_rows", "mi_cols", "nplanes",
+            "y_eob_nsyms", "uv_eob_nsyms", "tx_type_nsyms", "tx_type_sym",
+            "block_bsize", "part_ctx_above", "part_ctx_left")]
+    )
+
+
+def native_pack_kf_uniform(enc: "NativeEncoder", arrays: dict,
+                           scalars: dict) -> None:
+    """Pack a whole uniform-grid KEY-frame tile in one native call.
+
+    ``arrays`` maps pointer-field names to numpy arrays (kept alive by the
+    caller; CDF arrays are adapted in place), ``scalars`` the int64 fields.
+    """
+    p = KfPackParams()
+    for name, arr in arrays.items():
+        setattr(p, name, ctypes.c_void_p(arr.ctypes.data)
+                if arr is not None else None)
+    for name, v in scalars.items():
+        setattr(p, name, int(v))
+    rc = enc._lib.ec_enc_pack_kf_uniform(enc._h, ctypes.byref(p))
+    if rc != 0:
+        raise RuntimeError(f"native kf pack failed: {rc}")
+
+
 def native_coeff_read(dec: "NativeDecoder", width: int, height: int,
                       bhl: int, eob: int, scan: np.ndarray, tx_class: int,
                       nz_off, base_eob_cdf: np.ndarray, base_cdf: np.ndarray,

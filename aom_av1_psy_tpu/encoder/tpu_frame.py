@@ -1,0 +1,273 @@
+"""The fused TPU all-intra frame encoder — THE product intra path.
+
+Pipeline (VERDICT r2 #1): ``tpu_intra.plan_frame`` runs the batched
+wavefront mode search + bit-exact transform/quantize/recon on the TPU
+(av1/encoder/encodeframe.c:2211 encode-sb-walk analogue, re-expressed as a
+``lax.scan`` over block-grid anti-diagonals), then ONE native call
+(``native/ec.cpp ec_enc_pack_kf_uniform``) packs the entire tile's syntax —
+partition tree, skip, modes, coefficients — replacing the per-symbol Python
+loop (av1/encoder/bitstream.c av1_pack_bitstream analogue).
+
+The streams are fully conforming AV1 KEY frames (verified bit-exact through
+the reference aomdec in tests) using the plan's feature set: square blocks
+of one size (8/16/32), TX == block size, DCT_DCT, intra modes
+{DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH}, 8-bit 4:2:0 / monochrome.
+``FrameEncoder`` (encoder/frame.py) remains the wide-syntax reference path
+(lossless, directional angles, adaptive partition, CDEF).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.headers import (SequenceHeader, FrameHeader, TileInfo,
+                                 write_frame_header)
+from ..bitstream.bitio import BitWriter, write_leb128
+from ..ec.context import FrameContext
+from ..ec.native_coder import (NativeEncoder, available,
+                               native_pack_kf_uniform)
+from ..normative import tables
+from ..normative import txsize as TS
+from ..normative.blocks import (INTRA_MODE_CONTEXT, PARTITION_CTX_ABOVE,
+                                PARTITION_CTX_LEFT, EXT_TX_IND,
+                                EXT_TX_SET_INDEX_INTRA, NUM_EXT_TX_SET)
+from ..normative.enums import BlockSize, TxSize
+from ..normative.txsize import TXSIZE_LOG2_MINUS4, TXSIZE_SQR, txsize_entropy_ctx
+from ..utils.frame import Frame
+from . import tpu_intra
+from .frame import EncoderConfig
+
+_BS_TO_BSIZE = {8: int(BlockSize.BLOCK_8X8), 16: int(BlockSize.BLOCK_16X16),
+                32: int(BlockSize.BLOCK_32X32)}
+_BS_TO_TX = {8: int(TxSize.TX_8X8), 16: int(TxSize.TX_16X16),
+             32: int(TxSize.TX_32X32)}
+
+
+def _pad_plane(src: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Edge-replicate src up to (h, w), int32."""
+    out = np.empty((h, w), np.int32)
+    sh, sw = src.shape
+    out[:sh, :sw] = src
+    if sw < w:
+        out[:sh, sw:] = out[:sh, sw - 1 : sw]
+    if sh < h:
+        out[sh:, :] = out[sh - 1 : sh, :]
+    return out
+
+
+class TpuFrameEncoder:
+    """Encodes one all-intra KEY frame through the fused TPU plan + native
+    pack path. API mirror of encoder/frame.py:FrameEncoder."""
+
+    def __init__(self, frame: Frame, cfg: EncoderConfig):
+        if not available():
+            raise RuntimeError("TPU path requires the native EC library")
+        if cfg.lossless or cfg.base_q_idx == 0:
+            raise NotImplementedError("lossless uses FrameEncoder (WHT)")
+        self.cfg = cfg
+        self.src = frame
+        self.w, self.h = frame.width, frame.height
+        self.mi_cols = (self.w + 7) // 8 * 2
+        self.mi_rows = (self.h + 7) // 8 * 2
+        self.nplanes = 1 if frame.monochrome else 3
+        pw, ph = self.mi_cols * 4, self.mi_rows * 4
+
+        want = {int(BlockSize.BLOCK_8X8): 8, int(BlockSize.BLOCK_16X16): 16,
+                int(BlockSize.BLOCK_32X32): 32}.get(cfg.block_size, 16)
+        bs = want
+        while bs > 8 and (pw % bs or ph % bs):
+            bs //= 2
+        assert pw % bs == 0 and ph % bs == 0
+        self.bs = bs
+        self.R, self.C = ph // bs, pw // bs
+
+        planes = frame.planes()
+        self.srcp = [_pad_plane(planes[0].astype(np.int32), ph, pw)]
+        if self.nplanes > 1:
+            for p in (1, 2):
+                self.srcp.append(_pad_plane(planes[p].astype(np.int32),
+                                            ph // 2, pw // 2))
+
+        from ..ec import costs as EC_costs
+        self.rdmult = EC_costs.compute_rd_mult(cfg.base_q_idx)
+        if cfg.tune_psy:
+            # frame-level psy rdmult bias (per-SB modulation is a later
+            # round; the plan consumes one scalar)
+            from . import psy as psy_mod
+            f = psy_mod.ssim_rdmult_scaling_factors(planes[0])
+            self.rdmult = int(self.rdmult * float(np.mean(f)))
+
+    # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
+    def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:
+        seq = SequenceHeader(
+            max_frame_width=self.w, max_frame_height=self.h,
+            frame_width_bits=max(self.w - 1, 1).bit_length(),
+            frame_height_bits=max(self.h - 1, 1).bit_length(),
+            enable_filter_intra=False, enable_intra_edge_filter=True,
+            enable_cdef=False, enable_restoration=False,
+            monochrome=self.nplanes == 1)
+        fh = FrameHeader(width=self.w, height=self.h,
+                         render_width=self.w, render_height=self.h)
+        fh.quant.base_q_idx = self.cfg.base_q_idx
+        fh.tx_mode_select = False  # TX_MODE_LARGEST
+        fh.tiles = TileInfo()
+        # keyframe first-guess filter level (av1/encoder/picklpf.c:247)
+        q = tables.ac_quant(self.cfg.base_q_idx)
+        guess = (q * 17563 - 421574 + (1 << 17)) >> 18
+        lvl = int(np.clip(guess, 0, 63))
+        fh.lf.filter_level = (lvl, lvl)
+        fh.lf.filter_level_u = lvl
+        fh.lf.filter_level_v = lvl
+        return seq, fh
+
+    # ------------------------------------------------------------------
+    def encode(self, include_seq: bool = True) -> bytes:
+        seq, fh = self.make_headers()
+        self.seq, self.fh = seq, fh
+        fc = FrameContext(self.cfg.base_q_idx)
+        self.fc = fc
+
+        import time
+        t0 = time.perf_counter()
+        plan = tpu_intra.plan_frame(self.srcp, self.cfg.base_q_idx, self.bs,
+                                    fc, self.rdmult)
+        t1 = time.perf_counter()
+        self.plan = plan
+        tile_data = self._pack(plan, fc, fh)
+        self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
+
+        td = bytes([0x12, 0x00])
+        seq_obu = b""
+        if include_seq:
+            w = BitWriter()
+            seq.write(w)
+            w.trailing_bits()
+            payload = w.data()
+            seq_obu = bytes([0x0A]) + write_leb128(len(payload)) + payload
+        w = BitWriter()
+        write_frame_header(w, seq, fh)
+        w.byte_align()
+        frame_payload = w.data() + tile_data
+        frame_obu = bytes([0x32]) + write_leb128(len(frame_payload)) \
+            + frame_payload
+        return td + seq_obu + frame_obu
+
+    # ------------------------------------------------------------------
+    def _pack(self, plan: dict, fc: FrameContext, fh: FrameHeader) -> bytes:
+        bs = self.bs
+        R, C = self.R, self.C
+        n = bs * bs
+        y_txs = _BS_TO_TX[bs]
+        y_ectx = txsize_entropy_ctx(y_txs)
+        y_ems = int(TXSIZE_LOG2_MINUS4[y_txs])
+        plan_modes = np.asarray(tpu_intra.PLAN_MODES, np.int32)
+
+        y_mode = np.ascontiguousarray(plan_modes[plan["y_mode"]], np.int32)
+        y_levels = np.ascontiguousarray(plan["y_levels"], np.int32)
+        y_eob = np.ascontiguousarray(plan["y_eob"], np.int32)
+        skip = (y_eob == 0)
+
+        if self.nplanes > 1:
+            cbs = bs // 2
+            uv_txs = _BS_TO_TX.get(cbs, int(TxSize.TX_4X4))
+            uv_mode = np.ascontiguousarray(plan_modes[plan["uv_mode"]],
+                                           np.int32)
+            uv_levels = np.ascontiguousarray(plan["uv_levels"], np.int32)
+            uv_eob = np.ascontiguousarray(plan["uv_eob"], np.int32)
+            skip = skip & (uv_eob[0] == 0) & (uv_eob[1] == 0)
+        else:
+            cbs = bs // 2
+            uv_txs = _BS_TO_TX.get(cbs, int(TxSize.TX_4X4))
+            uv_mode, uv_levels, uv_eob = y_mode, y_levels, y_eob
+        uv_ectx = txsize_entropy_ctx(uv_txs)
+        uv_ems = int(TXSIZE_LOG2_MINUS4[uv_txs])
+        skip = np.ascontiguousarray(skip.astype(np.uint8))
+        self.mi_skip = np.repeat(np.repeat(skip.astype(np.int32), bs // 4, 0),
+                                 bs // 4, 1)[: self.mi_rows, : self.mi_cols]
+
+        # luma tx-type coding (FrameEncoder._write_tx_type): coded for
+        # TX_8X8/TX_16X16 (sqr_up < TX_32X32), DCT_DCT symbol
+        if bs <= 16:
+            set_type = 2 if int(TXSIZE_SQR[y_txs]) == int(TxSize.TX_16X16) \
+                else 3
+            eset = EXT_TX_SET_INDEX_INTRA[set_type]
+            ext_tx_cdf = np.ascontiguousarray(
+                fc.intra_ext_tx_cdf[eset][int(TXSIZE_SQR[y_txs])])
+            tx_type_nsyms = int(NUM_EXT_TX_SET[set_type])
+            tx_type_sym = int(EXT_TX_IND[set_type][0])
+        else:
+            ext_tx_cdf = np.zeros((13, 17), np.uint16)
+            tx_type_nsyms = 0
+            tx_type_sym = 0
+        self._ext_tx_cdf = ext_tx_cdf  # writes adapt this slice in place
+        if bs <= 16:
+            fc.intra_ext_tx_cdf[eset][int(TXSIZE_SQR[y_txs])] = ext_tx_cdf
+
+        def eob_cdf(ems, pt):
+            return getattr(fc, f"eob_flag_cdf{16 << ems}")[pt][0], 5 + ems
+
+        y_eob_cdf, y_eob_nsyms = eob_cdf(y_ems, 0)
+        uv_eob_cdf, uv_eob_nsyms = eob_cdf(uv_ems, 1)
+
+        arrays = {
+            "y_mode": y_mode, "uv_mode": uv_mode, "skip": skip,
+            "y_levels": y_levels, "y_eob": y_eob,
+            "uv_levels": uv_levels, "uv_eob": uv_eob,
+            "y_scan": np.ascontiguousarray(tables.scan_table(y_txs, 0),
+                                           np.int32),
+            "uv_scan": np.ascontiguousarray(tables.scan_table(uv_txs, 0),
+                                            np.int32),
+            "y_nzoff": np.ascontiguousarray(
+                tables.get(f"nz_map_ctx_offset_ts{y_txs}"), np.int32),
+            "uv_nzoff": np.ascontiguousarray(
+                tables.get(f"nz_map_ctx_offset_ts{uv_txs}"), np.int32),
+            "eob_group_start": np.ascontiguousarray(
+                tables.get("eob_group_start"), np.int32),
+            "eob_offset_bits": np.ascontiguousarray(
+                tables.get("eob_offset_bits"), np.int32),
+            "intra_mode_ctx": np.ascontiguousarray(INTRA_MODE_CONTEXT,
+                                                   np.int32),
+            "part_cdf": fc.partition_cdf, "skip_cdf": fc.skip_txfm_cdfs,
+            "kf_y_cdf": fc.kf_y_cdf, "angle_cdf": fc.angle_delta_cdf,
+            "uv_cdf": np.ascontiguousarray(fc.uv_mode_cdf[1]),
+            "ext_tx_cdf": ext_tx_cdf,
+            "y_txb_skip": np.ascontiguousarray(fc.txb_skip_cdf[y_ectx]),
+            "uv_txb_skip": np.ascontiguousarray(fc.txb_skip_cdf[uv_ectx]),
+            "y_eob_cdf": np.ascontiguousarray(y_eob_cdf),
+            "uv_eob_cdf": np.ascontiguousarray(uv_eob_cdf),
+            "y_eob_extra": np.ascontiguousarray(fc.eob_extra_cdf[y_ectx][0]),
+            "uv_eob_extra": np.ascontiguousarray(
+                fc.eob_extra_cdf[uv_ectx][1]),
+            "y_base_eob": np.ascontiguousarray(
+                fc.coeff_base_eob_cdf[y_ectx][0]),
+            "uv_base_eob": np.ascontiguousarray(
+                fc.coeff_base_eob_cdf[uv_ectx][1]),
+            "y_base": np.ascontiguousarray(fc.coeff_base_cdf[y_ectx][0]),
+            "uv_base": np.ascontiguousarray(fc.coeff_base_cdf[uv_ectx][1]),
+            "y_br": np.ascontiguousarray(
+                fc.coeff_br_cdf[min(y_ectx, 3)][0]),
+            "uv_br": np.ascontiguousarray(
+                fc.coeff_br_cdf[min(uv_ectx, 3)][1]),
+            "y_dc_sign": np.ascontiguousarray(fc.dc_sign_cdf[0]),
+            "uv_dc_sign": np.ascontiguousarray(fc.dc_sign_cdf[1]),
+        }
+        self._keepalive = arrays  # numpy buffers must outlive the call
+        scalars = {
+            "R": R, "C": C, "bs": bs,
+            "mi_rows": self.mi_rows, "mi_cols": self.mi_cols,
+            "nplanes": self.nplanes,
+            "y_eob_nsyms": y_eob_nsyms, "uv_eob_nsyms": uv_eob_nsyms,
+            "tx_type_nsyms": tx_type_nsyms, "tx_type_sym": tx_type_sym,
+            "block_bsize": _BS_TO_BSIZE[bs],
+            "part_ctx_above": int(PARTITION_CTX_ABOVE[_BS_TO_BSIZE[bs]]),
+            "part_ctx_left": int(PARTITION_CTX_LEFT[_BS_TO_BSIZE[bs]]),
+        }
+        enc = NativeEncoder()
+        enc.allow_update = not fh.disable_cdf_update
+        native_pack_kf_uniform(enc, arrays, scalars)
+        return enc.done()
+
+
+def encode_ivf_tpu(frames: list, cfg: EncoderConfig, path: str) -> None:
+    packets = [TpuFrameEncoder(f, cfg).encode() for f in frames]
+    from ..bitstream.containers import write_ivf
+    write_ivf(path, packets, frames[0].width, frames[0].height)

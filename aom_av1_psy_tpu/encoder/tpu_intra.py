@@ -342,10 +342,19 @@ def _plan_cost_tables(fc):
     return kf, angle, uv
 
 
-def plan_frame(src_planes, q, bs, fc, rdmult):
+@functools.partial(jax.jit, static_argnames=())
+def _shrink_levels(lv):
+    """Levels are clipped to +/-32767 (int16 range) — downcast on device
+    to halve the device->host transfer for the pack stage."""
+    return lv.astype(jnp.int16)
+
+
+def plan_frame(src_planes, q, bs, fc, rdmult, fetch_recon=False):
     """Run the TPU wavefronts over one frame; returns a host-side plan
     dict consumed by TpuFrameEncoder's pack walk. src_planes are the
-    mi-aligned int32 source planes (luma dims must be multiples of bs)."""
+    mi-aligned int32 source planes (luma dims must be multiples of bs).
+    Recon stays on device unless ``fetch_recon`` (the pack stage never
+    reads it; LPF search / quality probes do)."""
     kf_cost, angle_cost, uv_cost = _plan_cost_tables(fc)
     y = src_planes[0]
     R, C = y.shape[0] // bs, y.shape[1] // bs
@@ -356,9 +365,9 @@ def plan_frame(src_planes, q, bs, fc, rdmult):
     plan = {
         "bs": bs,
         "y_mode": np.asarray(ym),
-        "y_levels": np.asarray(ylv),
+        "y_levels": np.asarray(_shrink_levels(ylv)).astype(np.int32),
         "y_eob": np.asarray(yeob),
-        "recon": [np.asarray(yrec)],
+        "recon_dev": [yrec],
     }
     if len(src_planes) > 1:
         cbs = bs // 2
@@ -368,7 +377,9 @@ def plan_frame(src_planes, q, bs, fc, rdmult):
             jnp.asarray(angle_cost), dc_q, ac_q, float(rdmult),
             ym, bs=cbs, R=R, C=C)
         plan["uv_mode"] = np.asarray(uvm)
-        plan["uv_levels"] = np.asarray(uvlv)
+        plan["uv_levels"] = np.asarray(_shrink_levels(uvlv)).astype(np.int32)
         plan["uv_eob"] = np.asarray(uveob)
-        plan["recon"] += [np.asarray(uvrec[0]), np.asarray(uvrec[1])]
+        plan["recon_dev"] += [uvrec[0], uvrec[1]]
+    if fetch_recon:
+        plan["recon"] = [np.asarray(r) for r in plan["recon_dev"]]
     return plan

@@ -51,5 +51,6 @@ def get_lib():
     for name in ("ec_dec_symbol", "ec_dec_cdf", "ec_dec_bit"):
         getattr(lib, name).restype = ctypes.c_int
     lib.ec_dec_literal.restype = ctypes.c_uint
+    lib.ec_enc_pack_kf_uniform.restype = ctypes.c_int
     _lib = lib
     return lib

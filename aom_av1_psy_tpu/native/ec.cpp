@@ -433,6 +433,304 @@ int ec_enc_coeffs(Encoder *e, const int32_t *coeff, int width, int height,
   return cul_level;
 }
 
+// ---------------------------------------------------------------------------
+// Full-tile KEY-frame packer for the uniform-grid TPU plan (the fused path).
+//
+// One native call packs the entire tile's syntax — partition tree, skip,
+// kf y/uv intra modes, angle deltas, ext-tx, and every coefficient block —
+// replacing the per-symbol Python loop (av1/encoder/bitstream.c
+// av1_pack_bitstream analogue, restricted to the plan's feature set:
+// KEY frame, square blocks of one size, TX == block size, DCT only,
+// modes {DC,V,H,SMOOTH,SMOOTH_V,SMOOTH_H,PAETH}, 4:2:0 or monochrome).
+// CDF tables adapt in place exactly like the Python encoder, so the
+// resulting stream is bit-identical to the per-symbol path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Partition enum values (normative/enums.py Partition)
+enum { PART_NONE = 0, PART_HORZ = 1, PART_VERT = 2, PART_SPLIT = 3,
+       PART_HORZ_A = 4, PART_HORZ_B = 5, PART_VERT_A = 6, PART_VERT_B = 7,
+       PART_HORZ_4 = 8, PART_VERT_4 = 9 };
+
+inline int cdf_el_prob(const uint16_t *icdf, int el) {
+  const int prev = el > 0 ? icdf[el - 1] : 32768;
+  return prev - icdf[el];
+}
+
+// partition_gather_{horz,vert}_alike -> 2-symbol icdf (decoder/frame.py)
+inline void gather_partition_cdf(const uint16_t *icdf, bool horz,
+                                 uint16_t out[3]) {
+  int p = 32768;
+  if (horz) {
+    p -= cdf_el_prob(icdf, PART_HORZ) + cdf_el_prob(icdf, PART_SPLIT) +
+         cdf_el_prob(icdf, PART_HORZ_A) + cdf_el_prob(icdf, PART_HORZ_B) +
+         cdf_el_prob(icdf, PART_VERT_A) + cdf_el_prob(icdf, PART_HORZ_4);
+  } else {
+    p -= cdf_el_prob(icdf, PART_VERT) + cdf_el_prob(icdf, PART_SPLIT) +
+         cdf_el_prob(icdf, PART_HORZ_A) + cdf_el_prob(icdf, PART_VERT_A) +
+         cdf_el_prob(icdf, PART_VERT_B) + cdf_el_prob(icdf, PART_VERT_4);
+  }
+  out[0] = static_cast<uint16_t>(32768 - p);
+  out[1] = 0;
+  out[2] = 0;
+}
+
+struct KfPackParams {        // mirrored by ctypes in ec/native_coder.py
+  // plan arrays (all int32 unless noted)
+  const int32_t *y_mode;     // R*C  (AV1 mode ids 0..12)
+  const int32_t *uv_mode;    // R*C
+  const uint8_t *skip;       // R*C
+  const int32_t *y_levels;   // R*C*bs*bs (C layout col*H+row)
+  const int32_t *y_eob;      // R*C
+  const int32_t *uv_levels;  // 2*R*C*cbs*cbs
+  const int32_t *uv_eob;     // 2*R*C
+  const int32_t *y_scan;     // bs*bs
+  const int32_t *uv_scan;    // cbs*cbs
+  const int32_t *y_nzoff;    // nz_map_ctx_offset for luma tx
+  const int32_t *uv_nzoff;
+  const int32_t *eob_group_start;   // 12
+  const int32_t *eob_offset_bits;   // 12
+  const int32_t *intra_mode_ctx;    // 13
+  // CDF tables (uint16, adapted in place; shapes per ec/context.py)
+  uint16_t *part_cdf;        // (20, 11)
+  uint16_t *skip_cdf;        // (3, 3)
+  uint16_t *kf_y_cdf;        // (5, 5, 14)
+  uint16_t *angle_cdf;       // (8, 8)
+  uint16_t *uv_cdf;          // (13, 15)  == uv_mode_cdf[cfl_allowed=1]
+  uint16_t *ext_tx_cdf;      // (13, 17)  == intra_ext_tx_cdf[eset][sqr]
+  uint16_t *y_txb_skip;      // (13, 3)   txb_skip_cdf[y_txs_ctx]
+  uint16_t *uv_txb_skip;     // (13, 3)
+  uint16_t *y_eob_cdf;       // one row, y_eob_nsyms+1 wide
+  uint16_t *uv_eob_cdf;
+  uint16_t *y_eob_extra;     // (9, 3)
+  uint16_t *uv_eob_extra;
+  uint16_t *y_base_eob;      // (4, 4)
+  uint16_t *uv_base_eob;
+  uint16_t *y_base;          // (42, 5)
+  uint16_t *uv_base;
+  uint16_t *y_br;            // (21, 5)
+  uint16_t *uv_br;
+  uint16_t *y_dc_sign;       // (3, 3)
+  uint16_t *uv_dc_sign;
+  // scalars
+  int64_t R, C, bs;          // block grid + luma block size (8/16/32)
+  int64_t mi_rows, mi_cols;  // true mi dims (grid covers them exactly)
+  int64_t nplanes;           // 1 or 3
+  int64_t y_eob_nsyms, uv_eob_nsyms;
+  int64_t tx_type_nsyms;     // 0 => tx type not coded (TX_32X32)
+  int64_t tx_type_sym;       // EXT_TX_IND[set][DCT_DCT]
+  int64_t block_bsize;       // BlockSize enum of the uniform block
+  int64_t part_ctx_above, part_ctx_left;  // PARTITION_CTX_* [block_bsize]
+};
+
+struct PackState {
+  const KfPackParams *p;
+  Encoder *e;
+  std::vector<int32_t> above_part;     // per mi col
+  int32_t left_part[16];
+  std::vector<uint8_t> above_ent_y, above_ent_u, above_ent_v;
+  uint8_t left_ent_y[16], left_ent_u[8], left_ent_v[8];
+  int mi_bs;                           // block size in mi units
+};
+
+inline int dc_sign_ctx_from(const uint8_t *a, int na, const uint8_t *l,
+                            int nl) {
+  static const int kSigns[3] = { 0, -1, 1 };
+  int s = 0;
+  for (int k = 0; k < na; ++k) s += kSigns[a[k] >> 3];
+  for (int k = 0; k < nl; ++k) s += kSigns[l[k] >> 3];
+  return s == 0 ? 0 : (s < 0 ? 1 : 2);
+}
+
+// One transform block: txb_skip + (luma) ext-tx + eob prefix + coeff loops.
+// Returns cul_level.
+int pack_txb(PackState &st, int pt, const int32_t *levels, int eob, int width,
+             int bhl, int txb_skip_ctx, int dc_sign_ctx, int mode) {
+  const KfPackParams &p = *st.p;
+  Encoder *e = st.e;
+  uint16_t *skip_cdf = (pt ? p.uv_txb_skip : p.y_txb_skip) + txb_skip_ctx * 3;
+  e->encode_symbol(eob == 0 ? 1 : 0, skip_cdf, 2);
+  if (eob == 0) return 0;
+  if (pt == 0 && p.tx_type_nsyms > 0)
+    e->encode_symbol(static_cast<int>(p.tx_type_sym),
+                     p.ext_tx_cdf + mode * 17,
+                     static_cast<int>(p.tx_type_nsyms));
+  // eob position token (av1_get_eob_pos_token)
+  int eob_pt = 0;
+  while (eob_pt + 1 < 12 && p.eob_group_start[eob_pt + 1] <= eob) ++eob_pt;
+  const int eob_extra = eob - p.eob_group_start[eob_pt];
+  e->encode_symbol(eob_pt - 1, pt ? p.uv_eob_cdf : p.y_eob_cdf,
+                   static_cast<int>(pt ? p.uv_eob_nsyms : p.y_eob_nsyms));
+  const int ofs_bits = p.eob_offset_bits[eob_pt];
+  if (ofs_bits > 0) {
+    const int eob_ctx = eob_pt - 3;
+    e->encode_symbol((eob_extra >> (ofs_bits - 1)) & 1,
+                     (pt ? p.uv_eob_extra : p.y_eob_extra) + eob_ctx * 3, 2);
+    for (int i = 1; i < ofs_bits; ++i)
+      e->write_bit((eob_extra >> (ofs_bits - 1 - i)) & 1);
+  }
+  return ec_enc_coeffs(
+      e, levels, width, width, bhl, eob, pt ? p.uv_scan : p.y_scan, 0,
+      pt ? p.uv_nzoff : p.y_nzoff, pt ? p.uv_base_eob : p.y_base_eob, 4,
+      pt ? p.uv_base : p.y_base, 5, pt ? p.uv_br : p.y_br, 5,
+      (pt ? p.uv_dc_sign : p.y_dc_sign) + dc_sign_ctx * 3);
+}
+
+void pack_block(PackState &st, int mi_row, int mi_col) {
+  const KfPackParams &p = *st.p;
+  Encoder *e = st.e;
+  const int C = static_cast<int>(p.C);
+  const int r = mi_row / st.mi_bs, c = mi_col / st.mi_bs;
+  const int bi = r * C + c;
+  const bool up = mi_row > 0, left = mi_col > 0;
+  const int skip = p.skip[bi];
+
+  // skip flag (skip_txfm_cdfs, neighbor-sum ctx)
+  int skip_ctx = 0;
+  if (up) skip_ctx += p.skip[bi - C];
+  if (left) skip_ctx += p.skip[bi - 1];
+  e->encode_symbol(skip, p.skip_cdf + skip_ctx * 3, 2);
+
+  // kf y mode (kf_y_cdf[above_ctx][left_ctx])
+  const int mode = p.y_mode[bi];
+  const int am = up ? p.y_mode[bi - C] : 0;
+  const int lm = left ? p.y_mode[bi - 1] : 0;
+  const int actx = p.intra_mode_ctx[am], lctx = p.intra_mode_ctx[lm];
+  e->encode_symbol(mode, p.kf_y_cdf + (actx * 5 + lctx) * 14, 13);
+  const bool y_dir = mode >= 1 && mode <= 8;
+  if (y_dir) e->encode_symbol(3, p.angle_cdf + (mode - 1) * 8, 7);
+
+  int uvm = 0;
+  if (p.nplanes > 1) {
+    uvm = p.uv_mode[bi];
+    e->encode_symbol(uvm, p.uv_cdf + mode * 15, 14);
+    if (uvm >= 1 && uvm <= 8)
+      e->encode_symbol(3, p.angle_cdf + (uvm - 1) * 8, 7);
+  }
+
+  const int wu = static_cast<int>(p.bs) / 4;       // luma tx units
+  const int cwu = wu / 2;                          // chroma (4:2:0)
+  const int acol = mi_col, lrow = mi_row & 15;
+  const int cacol = mi_col >> 1, clrow = (mi_row & 15) >> 1;
+
+  if (skip) {  // reset entropy contexts, no residual
+    std::memset(st.above_ent_y.data() + acol, 0, wu);
+    std::memset(st.left_ent_y + lrow, 0, wu);
+    if (p.nplanes > 1) {
+      std::memset(st.above_ent_u.data() + cacol, 0, cwu);
+      std::memset(st.above_ent_v.data() + cacol, 0, cwu);
+      std::memset(st.left_ent_u + clrow, 0, cwu);
+      std::memset(st.left_ent_v + clrow, 0, cwu);
+    }
+    return;
+  }
+
+  // luma txb: block size == tx size -> txb_skip_ctx = 0 (get_txb_ctx)
+  const int bs = static_cast<int>(p.bs);
+  const int n = bs * bs;
+  const int bhl_y = 31 - __builtin_clz(bs);
+  int dctx = dc_sign_ctx_from(st.above_ent_y.data() + acol, wu,
+                              st.left_ent_y + lrow, wu);
+  int cul = pack_txb(st, 0, p.y_levels + bi * n, p.y_eob[bi], bs, bhl_y, 0,
+                     dctx, mode);
+  std::memset(st.above_ent_y.data() + acol, cul, wu);
+  std::memset(st.left_ent_y + lrow, cul, wu);
+
+  if (p.nplanes > 1) {
+    const int cbs = bs / 2, m = cbs * cbs;
+    const int bhl_c = 31 - __builtin_clz(cbs);
+    uint8_t *aents[2] = { st.above_ent_u.data(), st.above_ent_v.data() };
+    uint8_t *lents[2] = { st.left_ent_u, st.left_ent_v };
+    const int total = static_cast<int>(p.R) * C;
+    for (int pl = 0; pl < 2; ++pl) {
+      const uint8_t *a = aents[pl] + cacol;
+      const uint8_t *l = lents[pl] + clrow;
+      // chroma skip ctx: (above!=0)+(left!=0) + 7 (npels equal)
+      int above_ec = 0, left_ec = 0;
+      for (int k = 0; k < cwu; ++k) above_ec |= a[k];
+      for (int k = 0; k < cwu; ++k) left_ec |= l[k];
+      const int sctx = (above_ec ? 1 : 0) + (left_ec ? 1 : 0) + 7;
+      dctx = dc_sign_ctx_from(a, cwu, l, cwu);
+      cul = pack_txb(st, 1, p.uv_levels + (pl * total + bi) * m,
+                     p.uv_eob[pl * total + bi], cbs, bhl_c, sctx, dctx, 0);
+      std::memset(aents[pl] + cacol, cul, cwu);
+      std::memset(lents[pl] + clrow, cul, cwu);
+    }
+  }
+}
+
+void pack_partition(PackState &st, int mi_row, int mi_col, int bsize) {
+  const KfPackParams &p = *st.p;
+  if (mi_row >= p.mi_rows || mi_col >= p.mi_cols) return;
+  // square-bsize ladder: BLOCK_8X8=3 (2 mi) .. BLOCK_64X64=12 (16 mi)
+  const int mi_w = 2 << ((bsize - 3) / 3);
+  const int hbs = mi_w / 2;
+  const bool has_rows = mi_row + hbs < p.mi_rows;
+  const bool has_cols = mi_col + hbs < p.mi_cols;
+  const bool is_leaf = bsize == p.block_bsize;
+  const int partition =
+      (!is_leaf || !(has_rows && has_cols)) ? PART_SPLIT : PART_NONE;
+  // partition ctx (encoder/frame.py partition_ctx)
+  const int bsl = (bsize - 3) / 3;  // log2(mi_w) - 1
+  const int above = (st.above_part[mi_col] >> bsl) & 1;
+  const int lft = (st.left_part[mi_row & 15] >> bsl) & 1;
+  const int ctx = (lft * 2 + above) + bsl * 4;
+  uint16_t *cdf = p.part_cdf + ctx * 11;
+  const int nsyms = bsize <= 3 ? 4 : 10;
+  if (has_rows && has_cols) {
+    st.e->encode_symbol(partition, cdf, nsyms);
+  } else if (!has_rows && !has_cols) {
+    // nothing coded: split implied
+  } else {
+    uint16_t g[3];
+    gather_partition_cdf(cdf, /*horz=*/!has_cols, g);
+    const int sym = partition == PART_SPLIT ? 1 : 0;
+    const unsigned fl = sym > 0 ? g[sym - 1] : 32768;
+    st.e->encode_q15(fl, g[sym], sym, 2);  // non-adaptive (gathered)
+  }
+  if (partition == PART_NONE) {
+    pack_block(st, mi_row, mi_col);
+    st.above_part[mi_col] = static_cast<int32_t>(p.part_ctx_above);
+    for (int i = 1; i < mi_w; ++i)
+      st.above_part[mi_col + i] = static_cast<int32_t>(p.part_ctx_above);
+    for (int i = 0; i < mi_w; ++i)
+      st.left_part[(mi_row & 15) + i] = static_cast<int32_t>(p.part_ctx_left);
+  } else {
+    const int sub = bsize - 3;  // split subsize on the square ladder
+    pack_partition(st, mi_row, mi_col, sub);
+    pack_partition(st, mi_row, mi_col + hbs, sub);
+    pack_partition(st, mi_row + hbs, mi_col, sub);
+    pack_partition(st, mi_row + hbs, mi_col + hbs, sub);
+  }
+}
+
+}  // namespace
+
+// Pack one whole KEY-frame tile from the uniform-grid plan. Returns 0.
+int ec_enc_pack_kf_uniform(Encoder *e, const KfPackParams *params) {
+  PackState st;
+  st.p = params;
+  st.e = e;
+  st.mi_bs = static_cast<int>(params->bs) / 4;
+  const int mi_cols = static_cast<int>(params->mi_cols);
+  const int mi_rows = static_cast<int>(params->mi_rows);
+  const int ncols = (mi_cols + 15) / 16 * 16;
+  st.above_part.assign(ncols, 0);
+  st.above_ent_y.assign(ncols, 0);
+  st.above_ent_u.assign(ncols / 2 + 1, 0);
+  st.above_ent_v.assign(ncols / 2 + 1, 0);
+  for (int r0 = 0; r0 < mi_rows; r0 += 16) {
+    std::memset(st.left_part, 0, sizeof(st.left_part));
+    std::memset(st.left_ent_y, 0, sizeof(st.left_ent_y));
+    std::memset(st.left_ent_u, 0, sizeof(st.left_ent_u));
+    std::memset(st.left_ent_v, 0, sizeof(st.left_ent_v));
+    for (int c0 = 0; c0 < mi_cols; c0 += 16)
+      pack_partition(st, r0, c0, 12 /*BLOCK_64X64*/);
+  }
+  return 0;
+}
+
 // Decode side of the same loops (mirrors read_coeffs_txb after the eob
 // prefix): fills coeff (signed int32, C layout) and returns cul_level.
 int ec_dec_coeffs(Decoder *d, int32_t *coeff, int width, int height, int bhl,

@@ -1,0 +1,73 @@
+"""Fused TPU encoder conformance: the plan+native-pack path must produce
+streams our decoder reconstructs exactly and the reference aomdec decodes
+bit-identically (reference analogue: test/coding_path_sync.cc +
+test/test_vector_test.cc applied to our own streams)."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aom_av1_psy_tpu.utils.frame import Frame
+from aom_av1_psy_tpu.encoder.frame import EncoderConfig
+from aom_av1_psy_tpu.encoder.tpu_frame import TpuFrameEncoder
+from aom_av1_psy_tpu.decoder.obu import decode_ivf
+from aom_av1_psy_tpu.bitstream.containers import write_ivf
+
+AOMDEC = "/tmp/refbuild/aomdec"
+
+
+def make_frame(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 60 * np.sin(xx / 13) * np.cos(yy / 9)
+         + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    u = (128 + 40 * np.sin(np.arange(ch)[:, None] / 7
+                           + np.arange(cw)[None, :] / 11)) \
+        .clip(0, 255).astype(np.uint8)
+    v = (100 + rng.normal(0, 6, (ch, cw))).clip(0, 255).astype(np.uint8)
+    return Frame(y, u, v)
+
+
+CASES = [(96, 64, 60, 6),      # bs=16 exact grid
+         (178, 130, 60, 6),    # odd dims -> bs=8, partial SBs
+         (128, 128, 100, 9),   # bs=32 (no coded tx type)
+         (176, 144, 200, 6)]   # high q, mostly skip
+
+
+@pytest.mark.parametrize("w,h,q,bsz", CASES)
+def test_tpu_stream_self_decodes(tmp_path, w, h, q, bsz):
+    f = make_frame(w, h, seed=w + q)
+    enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=q, block_size=bsz))
+    data = enc.encode()
+    path = str(tmp_path / "t.ivf")
+    write_ivf(path, [data], w, h)
+    dec = decode_ivf(path)
+    assert len(dec) == 1
+    mse = ((dec[0].y.astype(float) - f.planes()[0].astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+    assert psnr > 28, psnr
+    # decoder recon (pre-loop-filter path check): the plan recon must match
+    # the decoded recon wherever the loop filter left pixels untouched is
+    # hard to isolate; the aomdec oracle test below is the full contract.
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+@pytest.mark.parametrize("w,h,q,bsz", CASES)
+def test_tpu_stream_aomdec_bitexact(tmp_path, w, h, q, bsz):
+    f = make_frame(w, h, seed=w + q)
+    enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=q, block_size=bsz))
+    data = enc.encode()
+    path = str(tmp_path / "t.ivf")
+    raw = str(tmp_path / "t.yuv")
+    write_ivf(path, [data], w, h)
+    r = subprocess.run([AOMDEC, "--rawvideo", "-o", raw, path],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref = np.fromfile(raw, np.uint8)
+    dec = decode_ivf(path)
+    ours = np.concatenate([dec[0].y.ravel(), dec[0].u.ravel(),
+                           dec[0].v.ravel()])
+    assert ref.size == ours.size
+    assert np.array_equal(ref, ours)
