@@ -43,6 +43,7 @@ def test_lossless_roundtrip(tmp_path, w, h):
 
 
 @pytest.mark.parametrize("q,bs", [(60, 6), (120, 9), (160, 12)])
+@pytest.mark.slow
 def test_lossy_self_consistent(tmp_path, q, bs):
     src = make_frames(96, 72)
     path = str(tmp_path / "out.ivf")
@@ -58,6 +59,7 @@ def test_lossy_self_consistent(tmp_path, q, bs):
 @pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
 @pytest.mark.parametrize("q,bs,lossless", [(0, 6, True), (60, 6, False),
                                            (120, 12, False)])
+@pytest.mark.slow
 def test_aomdec_conformance(tmp_path, q, bs, lossless):
     w, h = 178, 130
     src = make_frames(w, h)
@@ -83,6 +85,7 @@ def test_aomdec_conformance(tmp_path, q, bs, lossless):
             np.testing.assert_array_equal(f.y, src[i].y)
 
 
+@pytest.mark.slow
 def test_tune_psy_stream_conforms():
     """--tune-content=psy analogue: SSIM/psy rdmult modulation produces a
     stream aomdec-compatible syntax-wise (decoded by our own decoder)."""

@@ -48,6 +48,7 @@ def _decode_all(packets):
 
 
 @pytest.mark.parametrize("w,h,q", [(64, 64, 60), (96, 72, 120)])
+@pytest.mark.slow
 def test_inter_closed_loop(w, h, q):
     """Encoder in-loop recon == our decoder recon on every frame/plane."""
     src = panning_frames(w, h, 4)
@@ -62,6 +63,7 @@ def test_inter_closed_loop(w, h, q):
                                           err_msg=f"frame {i} plane {name}")
 
 
+@pytest.mark.slow
 def test_inter_beats_intra_on_static():
     """A static clip must cost measurably fewer bits inter than all-intra
     (VERDICT r1 task-3 done-criterion)."""
@@ -75,6 +77,7 @@ def test_inter_beats_intra_on_static():
     assert inter_bits < 0.5 * intra_bits, (inter_bits, intra_bits)
 
 
+@pytest.mark.slow
 def test_mid_gop_keyframe():
     src = panning_frames(64, 64, 5)
     packets, recons = encode_video(src, EncoderConfig(base_q_idx=90),
@@ -88,6 +91,7 @@ def test_mid_gop_keyframe():
 
 @pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
 @pytest.mark.parametrize("q", [60, 120])
+@pytest.mark.slow
 def test_inter_aomdec_conformance(tmp_path, q):
     w, h = 96, 72
     src = panning_frames(w, h, 4)
