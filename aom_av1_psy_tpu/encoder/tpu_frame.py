@@ -90,11 +90,34 @@ class TpuFrameEncoder:
         from ..ec import costs as EC_costs
         self.rdmult = EC_costs.compute_rd_mult(cfg.base_q_idx)
         if cfg.tune_psy:
-            # frame-level psy rdmult bias (per-SB modulation is a later
-            # round; the plan consumes one scalar)
+            # per-block SSIM/psy rdmult grid: geometric mean of the
+            # 16x16 factors each block covers (av1_set_ssim_rdmult,
+            # encodeframe_utils.c:20; factors encoder_utils.c:1281)
             from . import psy as psy_mod
             f = psy_mod.ssim_rdmult_scaling_factors(planes[0])
-            self.rdmult = int(self.rdmult * float(np.mean(f)))
+            self.rdmult = self._rdmult_grid(self.rdmult, f)
+
+    def _rdmult_grid(self, rdmult: int, factors: np.ndarray) -> np.ndarray:
+        """(R, C) per-block lambda from per-16x16 SSIM factors."""
+        R, C, bs = self.R, self.C, self.bs
+        fr, fc_ = factors.shape
+        logs = np.log(factors)
+        if bs == 16:
+            g = logs
+        elif bs == 8:
+            g = np.repeat(np.repeat(logs, 2, 0), 2, 1)
+        else:  # bs == 32: geometric mean over the covered 2x2 cells
+            r2, c2 = (fr + 1) // 2 * 2, (fc_ + 1) // 2 * 2
+            pad = np.pad(logs, ((0, r2 - fr), (0, c2 - fc_)), mode="edge")
+            g = pad.reshape(r2 // 2, 2, c2 // 2, 2).mean((1, 3))
+        out = np.full((R, C), np.log(1.0), np.float64)
+        rr, cc = min(R, g.shape[0]), min(C, g.shape[1])
+        out[:rr, :cc] = g[:rr, :cc]
+        if rr < R:
+            out[rr:, :] = out[rr - 1 : rr, :]
+        if cc < C:
+            out[:, cc:] = out[:, cc - 1 : cc]
+        return (rdmult * np.exp(out)).astype(np.float32)
 
     # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
     def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:

@@ -183,7 +183,9 @@ def _scatter_block(buf, by, bx, blocks, bs, valid):
 
 def _rd(sse, rate, rdmult):
     # RDCOST scaling (ec/costs.rdcost): (rate*rdmult)>>9 + (sse<<11),
-    # evaluated in f32 — decision-only, pack derives nothing from it
+    # evaluated in f32 — decision-only, pack derives nothing from it.
+    # rdmult broadcasts: scalar, or per-block (B,) from the rdmult grid
+    # (av1_set_ssim_rdmult / per-SB psy modulation, encodeframe_utils.c:20).
     return sse.astype(jnp.float32) * 2048.0 + \
         rate.astype(jnp.float32) * (rdmult / 512.0)
 
@@ -191,8 +193,9 @@ def _rd(sse, rate, rdmult):
 @functools.partial(jax.jit, static_argnames=("bs", "R", "C"))
 def _luma_wavefront(src, mode_cost, angle_cost, dc_q, ac_q, rdmult,
                     *, bs, R, C):
-    """src: (R*bs, C*bs) int32. Returns (mode_idx (R,C), levels (R,C,n),
-    eob (R,C), recon (R*bs, C*bs))."""
+    """src: (R*bs, C*bs) int32; rdmult: (R,C) f32 per-block lambda grid.
+    Returns (mode_idx (R,C), levels (R,C,n), eob (R,C),
+    recon (R*bs, C*bs))."""
     tx_size = BS_TO_TX[bs]
     scan = jnp.asarray(tables.scan_table(tx_size, 0))
     n = bs * bs
@@ -230,7 +233,8 @@ def _luma_wavefront(src, mode_cost, angle_cost, dc_q, ac_q, rdmult,
         actx = imc[plan_modes[am]]
         lctx = imc[plan_modes[lm]]
         rate = mode_cost[actx, lctx] + angle_cost[None, :]     # (B,M)
-        best = jnp.argmin(_rd(sse, rate.T, rdmult), axis=0)    # (B,)
+        rdm = rdmult[rc, cc]                                   # (B,)
+        best = jnp.argmin(_rd(sse, rate.T, rdm), axis=0)       # (B,)
 
         pred = jnp.take_along_axis(
             preds, best[None, :, None, None], axis=0)[0]
@@ -291,7 +295,8 @@ def _chroma_wavefront(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q, rdmult,
         sse = sses[0] + sses[1]                                # (M,B)
         ym = plan_modes[y_mode_idx[rc, cc]]
         rate = uv_cost[ym] + angle_cost[None, :]               # (B,M)
-        best = jnp.argmin(_rd(sse, rate.T, rdmult), axis=0)
+        rdm = rdmult[rc, cc]                                   # (B,)
+        best = jnp.argmin(_rd(sse, rate.T, rdm), axis=0)
 
         new_bufs = []
         for p in range(2):
@@ -353,15 +358,22 @@ def plan_frame(src_planes, q, bs, fc, rdmult, fetch_recon=False):
     """Run the TPU wavefronts over one frame; returns a host-side plan
     dict consumed by TpuFrameEncoder's pack walk. src_planes are the
     mi-aligned int32 source planes (luma dims must be multiples of bs).
-    Recon stays on device unless ``fetch_recon`` (the pack stage never
-    reads it; LPF search / quality probes do)."""
+    ``rdmult`` is a scalar or a per-block (R, C) grid (per-SB SSIM/psy
+    modulation, av1_set_ssim_rdmult encodeframe_utils.c:20). Recon stays
+    on device unless ``fetch_recon`` (the pack stage never reads it; LPF
+    search / quality probes do)."""
     kf_cost, angle_cost, uv_cost = _plan_cost_tables(fc)
     y = src_planes[0]
     R, C = y.shape[0] // bs, y.shape[1] // bs
     dc_q, ac_q = tables.dc_quant(q), tables.ac_quant(q)
+    rdgrid = np.asarray(rdmult, np.float32)
+    if rdgrid.ndim == 0:
+        rdgrid = np.full((R, C), float(rdmult), np.float32)
+    assert rdgrid.shape == (R, C), (rdgrid.shape, R, C)
+    rdgrid = jnp.asarray(rdgrid)
     ym, ylv, yeob, yrec = _luma_wavefront(
         jnp.asarray(y), jnp.asarray(kf_cost), jnp.asarray(angle_cost),
-        dc_q, ac_q, float(rdmult), bs=bs, R=R, C=C)
+        dc_q, ac_q, rdgrid, bs=bs, R=R, C=C)
     plan = {
         "bs": bs,
         "y_mode": np.asarray(ym),
@@ -374,7 +386,7 @@ def plan_frame(src_planes, q, bs, fc, rdmult, fetch_recon=False):
         u, v = src_planes[1], src_planes[2]
         uvm, uvlv, uveob, uvrec = _chroma_wavefront(
             jnp.asarray(u), jnp.asarray(v), jnp.asarray(uv_cost),
-            jnp.asarray(angle_cost), dc_q, ac_q, float(rdmult),
+            jnp.asarray(angle_cost), dc_q, ac_q, rdgrid,
             ym, bs=cbs, R=R, C=C)
         plan["uv_mode"] = np.asarray(uvm)
         plan["uv_levels"] = np.asarray(_shrink_levels(uvlv)).astype(np.int32)

@@ -71,3 +71,35 @@ def test_tpu_stream_aomdec_bitexact(tmp_path, w, h, q, bsz):
                            dec[0].v.ravel()])
     assert ref.size == ours.size
     assert np.array_equal(ref, ours)
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+def test_tpu_tune_psy_per_block_rdmult(tmp_path):
+    """tune_psy drives a per-block rdmult grid through the fused plan:
+    the grid must vary across blocks (dark/flat vs textured regions) and
+    the stream must stay bit-exact through the reference aomdec."""
+    w, h = 96, 64
+    rng = np.random.default_rng(7)
+    y = np.full((h, w), 30, np.uint8)               # dark flat left half
+    y[:, w // 2 :] = (128 + rng.normal(0, 40, (h, w // 2))).clip(0, 255) \
+        .astype(np.uint8)                           # textured right half
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    f = Frame(y, u, v)
+    enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=100, tune_psy=True))
+    grid = np.asarray(enc.rdmult)
+    assert grid.ndim == 2 and grid.std() > 0, "rdmult grid must vary"
+    # flat/dark region gets a smaller lambda (more bits) than texture
+    assert grid[:, 0].mean() < grid[:, -1].mean()
+    data = enc.encode()
+    path = str(tmp_path / "psy.ivf")
+    raw = str(tmp_path / "psy.yuv")
+    write_ivf(path, [data], w, h)
+    r = subprocess.run([AOMDEC, "--rawvideo", "-o", raw, path],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref = np.fromfile(raw, np.uint8)
+    dec = decode_ivf(path)
+    ours = np.concatenate([dec[0].y.ravel(), dec[0].u.ravel(),
+                           dec[0].v.ravel()])
+    assert np.array_equal(ref, ours)

@@ -1,0 +1,296 @@
+#!/usr/bin/env python3
+"""BD-rate quality harness — our encoders vs the reference aomenc.
+
+For each synthetic clip and each encoder path, sweeps quantizer points,
+collects (bits/frame, global PSNR) rate-distortion points, and reports
+Bjontegaard BD-rate deltas against the aomenc anchor (negative = we need
+fewer bits at equal PSNR). Reference standard: the PSNR-threshold
+end-to-end tests of the reference (test/end_to_end_psnr_test.cc) and the
+<=1% BD-rate BASELINE target.
+
+Paths measured:
+  - tpu-intra:  encoder/tpu_frame.py TpuFrameEncoder (the fused product path)
+  - host-intra: encoder/frame.py FrameEncoder (wide-syntax host path)
+  - inter-ippp: encoder/interframe.py encode_video (host IPPP slice)
+  - anchors:    /tmp/refbuild/aomenc --passes=1 --end-usage=q (all-intra and
+                default inter GOP)
+
+Usage: PYTHONPATH=. python tools/quality.py [--out QUALITY.json] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aom_av1_psy_tpu.utils.frame import Frame
+from aom_av1_psy_tpu.bitstream.containers import write_y4m, write_ivf
+
+AOMENC = "/tmp/refbuild/aomenc"
+AOMDEC = "/tmp/refbuild/aomdec"
+
+
+# ----------------------------------------------------------------------
+# synthetic clips (deterministic, content-diverse)
+# ----------------------------------------------------------------------
+def _plane(h, w, f):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.clip(f(yy, xx), 0, 255).astype(np.uint8)
+
+
+def clip_gradient(w, h, n, seed=1):
+    """Smooth gradients + low-frequency sinusoids, slow pan."""
+    rng = np.random.default_rng(seed)
+    noise = rng.normal(0, 3.0, (h + 16, w + 16)).astype(np.float32)
+    frames = []
+    for i in range(n):
+        dx = 2 * i
+        y = _plane(h, w, lambda yy, xx: 90 + 55 * np.sin((xx + dx) / 83.0)
+                   * np.cos(yy / 47.0) + 45 * ((xx + dx) / w)
+                   + noise[8 : 8 + h, 8 : 8 + w])
+        u = _plane(h // 2, w // 2,
+                   lambda yy, xx: 128 + 28 * np.sin((xx + dx / 2) / 67.0))
+        v = _plane(h // 2, w // 2,
+                   lambda yy, xx: 128 - 24 * np.cos(yy / 59.0))
+        frames.append(Frame(y, u, v))
+    return frames
+
+
+def clip_detail(w, h, n, seed=2):
+    """High-frequency texture + hard edges (detail-retention stressor)."""
+    rng = np.random.default_rng(seed)
+    tex = rng.integers(0, 64, (h + 32, w + 32)).astype(np.float32)
+    frames = []
+    for i in range(n):
+        dy = i
+        y = _plane(h, w, lambda yy, xx: 60 + tex[dy : dy + h, dy : dy + w]
+                   + 80 * (((xx // 24) + (yy // 24)) % 2)
+                   + 30 * np.sin(xx / 11.0))
+        u = _plane(h // 2, w // 2,
+                   lambda yy, xx: 128 + 20 * (((xx // 12) % 2)))
+        v = _plane(h // 2, w // 2, lambda yy, xx: 118 + 12 * np.cos(xx / 13.0))
+        frames.append(Frame(y, u, v))
+    return frames
+
+
+def clip_moving(w, h, n, seed=3):
+    """Textured scene with global translation + a moving object."""
+    rng = np.random.default_rng(seed)
+    pad = 4 * n + 32
+    bg = (110 + 45 * np.sin(np.arange(w + pad) / 37.0)[None, :]
+          * np.cos(np.arange(h + pad) / 29.0)[:, None]
+          + rng.normal(0, 6, (h + pad, w + pad))).astype(np.float32)
+    frames = []
+    for i in range(n):
+        ox = 3 * i
+        oy = 2 * i
+        y = np.clip(bg[oy : oy + h, ox : ox + w].copy(), 0, 255)
+        # moving square object
+        bx, by = 20 + 5 * i, 30 + 3 * i
+        y[by : by + 40, bx : bx + 40] = 210 - 4 * i
+        u = np.full((h // 2, w // 2), 120, np.float32)
+        u[(by // 2) : (by + 40) // 2, (bx // 2) : (bx + 40) // 2] = 90
+        v = np.full((h // 2, w // 2), 135, np.float32)
+        frames.append(Frame(y.astype(np.uint8), u.astype(np.uint8),
+                            v.astype(np.uint8)))
+    return frames
+
+
+# ----------------------------------------------------------------------
+# metrics
+# ----------------------------------------------------------------------
+def global_psnr(src_frames, dec_frames):
+    """libaom-style global PSNR over all planes of all frames."""
+    sse = 0
+    samples = 0
+    for s, d in zip(src_frames, dec_frames):
+        for p_s, p_d in zip(s.planes(), d.planes()):
+            p_d = p_d[: p_s.shape[0], : p_s.shape[1]]
+            sse += float(((p_s.astype(np.int64) - p_d.astype(np.int64)) ** 2)
+                         .sum())
+            samples += p_s.size
+    if sse == 0:
+        return 99.0
+    return 10 * np.log10(255.0 ** 2 * samples / sse)
+
+
+def bd_rate(anchor_rate, anchor_psnr, test_rate, test_psnr):
+    """Bjontegaard delta-rate (%), cubic fit in (psnr, log rate)."""
+    lr1 = np.log(np.asarray(anchor_rate, float))
+    lr2 = np.log(np.asarray(test_rate, float))
+    p1 = np.asarray(anchor_psnr, float)
+    p2 = np.asarray(test_psnr, float)
+    lo = max(p1.min(), p2.min())
+    hi = min(p1.max(), p2.max())
+    if hi <= lo:
+        return None  # no PSNR overlap
+    f1 = np.polyfit(p1, lr1, min(3, len(p1) - 1))
+    f2 = np.polyfit(p2, lr2, min(3, len(p2) - 1))
+    i1 = np.polyint(f1)
+    i2 = np.polyint(f2)
+    v1 = np.polyval(i1, hi) - np.polyval(i1, lo)
+    v2 = np.polyval(i2, hi) - np.polyval(i2, lo)
+    avg = (v2 - v1) / (hi - lo)
+    return float((np.exp(avg) - 1) * 100)
+
+
+# ----------------------------------------------------------------------
+# encoders under test
+# ----------------------------------------------------------------------
+def decode_with_aomdec(ivf_path, w, h, n):
+    """Decode through the reference aomdec (oracle) to raw I420 frames."""
+    raw = ivf_path + ".raw"
+    subprocess.run([AOMDEC, "--rawvideo", "-o", raw, ivf_path],
+                   check=True, capture_output=True)
+    data = np.fromfile(raw, np.uint8)
+    os.unlink(raw)
+    fsz = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    assert data.size == fsz * n, (data.size, fsz, n)
+    out = []
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    for i in range(n):
+        f = data[i * fsz : (i + 1) * fsz]
+        y = f[: w * h].reshape(h, w)
+        u = f[w * h : w * h + cw * ch].reshape(ch, cw)
+        v = f[w * h + cw * ch :].reshape(ch, cw)
+        out.append(Frame(y, u, v))
+    return out
+
+
+def run_aomenc(frames, tmpdir, cq, intra: bool, cpu_used=6):
+    w, h = frames[0].width, frames[0].height
+    y4m = os.path.join(tmpdir, "src.y4m")
+    if not os.path.exists(y4m):
+        write_y4m(y4m, frames)
+    out = os.path.join(tmpdir, f"aom_{intra}_{cq}.ivf")
+    args = [AOMENC, "--passes=1", "--end-usage=q", f"--cq-level={cq}",
+            f"--cpu-used={cpu_used}", "--threads=1", "--ivf", "-o", out, y4m]
+    if intra:
+        args.insert(1, "--kf-max-dist=1")
+    else:
+        args.insert(1, "--lag-in-frames=0")
+    subprocess.run(args, check=True, capture_output=True)
+    bits = os.path.getsize(out) * 8 - 32 * 8 - 12 * 8 * len(frames)
+    dec = decode_with_aomdec(out, w, h, len(frames))
+    return bits / len(frames), global_psnr(frames, dec)
+
+
+def run_ours(frames, tmpdir, make_packets, tag):
+    w, h = frames[0].width, frames[0].height
+    t0 = time.perf_counter()
+    packets = make_packets(frames)
+    dt = time.perf_counter() - t0
+    out = os.path.join(tmpdir, f"ours_{tag}.ivf")
+    write_ivf(out, packets, w, h)
+    bits = sum(len(p) for p in packets) * 8
+    dec = decode_with_aomdec(out, w, h, len(frames))
+    return bits / len(frames), global_psnr(frames, dec), dt
+
+
+# ----------------------------------------------------------------------
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_r04.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer q points / smaller clips")
+    args = ap.parse_args()
+
+    from aom_av1_psy_tpu.encoder.frame import EncoderConfig, FrameEncoder
+    from aom_av1_psy_tpu.encoder.tpu_frame import TpuFrameEncoder
+    from aom_av1_psy_tpu.encoder.interframe import encode_video
+
+    # q ladders: aomenc cq-level (0..63) vs our base_q_idx (0..255);
+    # aligned roughly via qindex = 4*cq
+    CQ = [20, 32, 44, 56] if not args.quick else [24, 44]
+    QIDX = [c * 4 for c in CQ]
+
+    intra_clips = {
+        "gradient_352": clip_gradient(352, 288, 2),
+        "detail_352": clip_detail(352, 288, 2),
+        "moving_352": clip_moving(352, 288, 2),
+    }
+    inter_clips = {
+        "gradient_176": clip_gradient(176, 144, 4),
+        "detail_176": clip_detail(176, 144, 4),
+        "moving_176": clip_moving(176, 144, 4),
+    }
+
+    results = {"configs": {"cq_levels": CQ, "q_idx": QIDX},
+               "clips": {}, "bd_rate_vs_aomenc": {}}
+
+    def tpu_intra_packets(q):
+        def mk(frames):
+            return [TpuFrameEncoder(f, EncoderConfig(base_q_idx=q)).encode()
+                    for f in frames]
+        return mk
+
+    def host_intra_packets(q):
+        def mk(frames):
+            out = []
+            for f in frames:
+                out.append(FrameEncoder(f, EncoderConfig(
+                    base_q_idx=q)).encode())
+            return out
+        return mk
+
+    def inter_packets(q):
+        def mk(frames):
+            pkts, _ = encode_video(frames, EncoderConfig(base_q_idx=q))
+            return pkts
+        return mk
+
+    all_bd = {}
+    for mode, clips, ours in (
+            ("intra_tpu", intra_clips, tpu_intra_packets),
+            ("intra_host", intra_clips, host_intra_packets),
+            ("inter_ippp", inter_clips, inter_packets)):
+        for name, frames in clips.items():
+            key = f"{mode}/{name}"
+            with tempfile.TemporaryDirectory() as td:
+                anchor = []
+                for cq in CQ:
+                    r, p = run_aomenc(frames, td, cq,
+                                      intra=mode.startswith("intra"))
+                    anchor.append((r, p))
+                pts = []
+                total_dt = 0.0
+                for q in QIDX:
+                    r, p, dt = run_ours(frames, td, ours(q), f"{mode}_{q}")
+                    pts.append((r, p))
+                    total_dt += dt
+            bd = bd_rate([a[0] for a in anchor], [a[1] for a in anchor],
+                         [x[0] for x in pts], [x[1] for x in pts])
+            all_bd[key] = bd
+            results["clips"][key] = {
+                "anchor_rd": anchor, "ours_rd": pts,
+                "bd_rate_pct": bd, "encode_s_total": round(total_dt, 1),
+            }
+            print(f"{key}: BD-rate {bd if bd is None else round(bd, 1)}% "
+                  f"(anchor {anchor}, ours {pts})", flush=True)
+
+    for mode in ("intra_tpu", "intra_host", "inter_ippp"):
+        vals = [v for k, v in all_bd.items()
+                if k.startswith(mode) and v is not None]
+        results["bd_rate_vs_aomenc"][mode] = (
+            round(float(np.mean(vals)), 1) if vals else None)
+
+    results["notes"] = (
+        "BD-rate vs aomenc --cpu-used=6 (generic-C build) on synthetic "
+        "clips; negative = fewer bits at equal PSNR. Anchor decodes via "
+        "reference aomdec; our streams also decoded by reference aomdec "
+        "(conformance implied).")
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["bd_rate_vs_aomenc"]))
+
+
+if __name__ == "__main__":
+    main()
