@@ -161,6 +161,83 @@ def _tq_recon(src, pred, dc_q, ac_q, tx_size, scan):
     return levels, eob, recon.astype(jnp.int32)
 
 
+# mode -> (vert ADST?, horiz ADST?) from the DERIVED chroma tx type
+# (decoder/frame.py:_uv_tx_type: INTRA_MODE_TO_TX_TYPE[uv_mode], all four
+# DCT/ADST combos are in the allowed set for TX_8X8/TX_16X16 intra)
+from ..normative.blocks import INTRA_MODE_TO_TX_TYPE as _IM2TT
+
+
+from ..normative.enums import TxType1D  # noqa: E402
+
+
+def _sel_1d(x, n, cos_bit, use_adst, inverse, clamp_bit):
+    """Per-block 1-D transform select between DCT and ADST.
+
+    x: (B*n_other, n); use_adst broadcast (B,) expanded by caller to rows.
+    """
+    d = txfm_ops._txfm_1d(x, n, TxType1D.DCT, cos_bit, inverse, clamp_bit)
+    a = txfm_ops._txfm_1d(x, n, TxType1D.ADST, cos_bit, inverse, clamp_bit)
+    return jnp.where(use_adst[:, None], a, d)
+
+
+def _tq_recon_uv(src, pred, dc_q, ac_q, tx_size, scan, uv_mode):
+    """Chroma TQ+recon with the mode-DERIVED tx type per block.
+
+    uv_mode: (B,) AV1 intra mode ids. The decoder derives the chroma tx
+    type from the uv mode (no syntax), so the in-loop recon must apply the
+    same ADST/DCT combo — using DCT unconditionally silently diverges the
+    closed loop (found vs aomdec in round 4)."""
+    bs = src.shape[-1]
+    b = src.shape[0]
+    shift = TS.tx_scale(tx_size)
+    tt = jnp.asarray(_IM2TT, jnp.int32)[uv_mode]          # (B,)
+    vadst = (tt == 1) | (tt == 3)                         # ADST_DCT/ADST_ADST
+    hadst = (tt == 2) | (tt == 3)                         # DCT_ADST/ADST_ADST
+    lw = bs.bit_length() - 3
+    cb_col = int(txfm_ops.FWD_COS_BIT_COL[lw][lw])
+    cb_row = int(txfm_ops.FWD_COS_BIT_ROW[lw][lw])
+    fsh = txfm_ops.FWD_SHIFT[tx_size]
+
+    res = (src - pred).astype(jnp.int32)
+    # forward: column pass along H, then row pass along W (fwd_txfm2d)
+    xc = jnp.transpose(res, (0, 2, 1)).reshape(b * bs, bs)
+    xc = txfm_ops._round_shift_arr(xc, -int(fsh[0]))
+    va = jnp.repeat(vadst, bs)
+    xc = _sel_1d(xc, bs, cb_col, va, inverse=False, clamp_bit=None)
+    xc = txfm_ops._round_shift_arr(xc, -int(fsh[1]))
+    buf = jnp.transpose(xc.reshape(b, bs, bs), (0, 2, 1))
+    xr = buf.reshape(b * bs, bs)
+    ha = jnp.repeat(hadst, bs)
+    xr = _sel_1d(xr, bs, cb_row, ha, inverse=False, clamp_bit=None)
+    xr = txfm_ops._round_shift_arr(xr, -int(fsh[2]))
+    coeffs = jnp.transpose(xr.reshape(b, bs, bs), (0, 2, 1))  # (B, W, H)
+
+    flat = coeffs.reshape(b, -1)
+    levels = _quantize(flat, dc_q, ac_q, shift)
+    ls = levels[:, scan]
+    idx = jnp.arange(1, ls.shape[-1] + 1, dtype=jnp.int32)
+    eob = jnp.max(jnp.where(ls != 0, idx, 0), axis=-1)
+    dq = _dequantize(levels, dc_q, ac_q, shift)
+
+    # inverse: row pass then column pass (inv_txfm2d_add), bd=8 clamps
+    ish = txfm_ops.INV_SHIFT[tx_size]
+    coeff = dq.reshape(b, bs, bs)                         # (B, W, H)
+    xr = jnp.transpose(coeff, (0, 2, 1)).reshape(b * bs, bs)
+    xr = jnp.clip(xr, -(1 << 15), (1 << 15) - 1)
+    xr = _sel_1d(xr, bs, txfm_ops.INV_COS_BIT, ha, inverse=True,
+                 clamp_bit=16)
+    xr = txfm_ops._round_shift_arr(xr, -int(ish[0]))
+    buf = xr.reshape(b, bs, bs)
+    xc = jnp.transpose(buf, (0, 2, 1)).reshape(b * bs, bs)
+    xc = jnp.clip(xc, -(1 << 15), (1 << 15) - 1)
+    xc = _sel_1d(xc, bs, txfm_ops.INV_COS_BIT, va, inverse=True,
+                 clamp_bit=16)
+    xc = txfm_ops._round_shift_arr(xc, -int(ish[1]))
+    resid = jnp.transpose(xc.reshape(b, bs, bs), (0, 2, 1))
+    recon = jnp.clip(pred.astype(resid.dtype) + resid, 0, 255)
+    return levels, eob, recon.astype(jnp.int32)
+
+
 # ----------------------------------------------------------------------
 # wavefront scan
 # ----------------------------------------------------------------------
@@ -298,13 +375,14 @@ def _chroma_wavefront(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q, rdmult,
         rdm = rdmult[rc, cc]                                   # (B,)
         best = jnp.argmin(_rd(sse, rate.T, rdm), axis=0)
 
+        best_uv_mode = plan_modes[best]
         new_bufs = []
         for p in range(2):
             preds, sb = preds_uv[p]
             pred = jnp.take_along_axis(
                 preds, best[None, :, None, None], axis=0)[0]
-            levels, eob, recon = _tq_recon(sb, pred, dc_q, ac_q, tx_size,
-                                           scan)
+            levels, eob, recon = _tq_recon_uv(sb, pred, dc_q, ac_q, tx_size,
+                                              scan, best_uv_mode)
             new_bufs.append(_scatter_block(bufs[p], by, bx, recon, bs,
                                            valid))
             rs = jnp.where(valid, rc, R)

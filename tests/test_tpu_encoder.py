@@ -103,3 +103,46 @@ def test_tpu_tune_psy_per_block_rdmult(tmp_path):
     ours = np.concatenate([dec[0].y.ravel(), dec[0].u.ravel(),
                            dec[0].v.ravel()])
     assert np.array_equal(ref, ours)
+
+
+def test_plan_recon_is_decode_recon():
+    """Closed-loop contract: the plan's on-device recon must equal the
+    decoder's recon bit-exactly (LPF disabled to isolate the coding loop).
+    Guards the chroma DERIVED-tx-type path (decoder/frame.py:_uv_tx_type):
+    chroma TQ must apply the uv-mode-derived ADST/DCT combo, not DCT."""
+    from aom_av1_psy_tpu.encoder import tpu_intra
+    from aom_av1_psy_tpu.decoder.obu import Av1Decoder
+
+    class NoLpf(TpuFrameEncoder):
+        def make_headers(self):
+            seq, fh = super().make_headers()
+            fh.lf.filter_level = (0, 0)
+            fh.lf.filter_level_u = 0
+            fh.lf.filter_level_v = 0
+            return seq, fh
+
+    w, h = 96, 64
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 60 * np.sin(xx / 13) * np.cos(yy / 9)
+         + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + 50 * np.sin(np.arange(h // 2)[:, None] / 5
+                           + np.arange(w // 2)[None, :] / 7)) \
+        .clip(0, 255).astype(np.uint8)
+    v = (100 + 40 * np.cos(np.arange(h // 2)[:, None] / 6)) \
+        .clip(0, 255).astype(np.uint8)
+    f = Frame(y, u, v)
+    enc = NoLpf(f, EncoderConfig(base_q_idx=60))
+    data = enc.encode()
+    plan = tpu_intra.plan_frame(enc.srcp, 60, enc.bs, type(enc.fc)(60),
+                                enc.rdmult, fetch_recon=True)
+    # chroma must actually exercise non-DC modes for this to guard anything
+    uv_modes = np.unique(np.asarray(tpu_intra.PLAN_MODES)[plan["uv_mode"]])
+    assert len(uv_modes) > 1, uv_modes
+    fr = Av1Decoder().decode_packet(data)[0]
+    for name, d_, p_ in (("y", fr.y, plan["recon"][0]),
+                         ("u", fr.u, plan["recon"][1]),
+                         ("v", fr.v, plan["recon"][2])):
+        d_ = d_.astype(np.int32)
+        np.testing.assert_array_equal(d_, p_[: d_.shape[0], : d_.shape[1]],
+                                      err_msg=name)
