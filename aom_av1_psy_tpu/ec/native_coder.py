@@ -214,3 +214,49 @@ def native_coeff_read(dec: "NativeDecoder", width: int, height: int,
         int(base_cdf.shape[-1]), _ptr(br_cdf), int(br_cdf.shape[-1]),
         _ptr(dc_sign_cdf)))
     return coeff, cul
+
+
+_P2_PTRS = (
+    "split32", "y_mode32", "y_mode16", "y_lv32", "y_lv16", "y_eob32",
+    "y_eob16", "uv_mode16", "uv_mode8", "uv_lv16", "uv_lv8", "uv_eob16",
+    "uv_eob8", "scan32", "scan16", "scan8", "nzoff32", "nzoff16", "nzoff8",
+    "eob_group_start", "eob_offset_bits", "intra_mode_ctx",
+    "part_cdf", "skip_cdf", "kf_y_cdf", "angle_cdf", "uv_cdf", "ext_tx16",
+    "txb_skip_y32", "txb_skip_y16", "txb_skip_uv16", "txb_skip_uv8",
+    "eob_y32", "eob_y16", "eob_uv16", "eob_uv8",
+    "eobex_y32", "eobex_y16", "eobex_uv16", "eobex_uv8",
+    "beob_y32", "beob_y16", "beob_uv16", "beob_uv8",
+    "base_y32", "base_y16", "base_uv16", "base_uv8",
+    "br_y32", "br_y16", "br_uv16", "br_uv8", "dcs_y", "dcs_uv",
+)
+_P2_INTS = (
+    "R", "C", "mi_rows", "mi_cols", "nplanes",
+    "eobn_y32", "eobn_y16", "eobn_uv16", "eobn_uv8",
+    "txt16_nsyms", "txt16_sym",
+    "pctx_a32", "pctx_l32", "pctx_a16", "pctx_l16",
+)
+
+
+class Pack2Params(ctypes.Structure):
+    """ctypes mirror of Pack2Params in native/ec.cpp (all members 8 bytes,
+    order must match exactly)."""
+
+    _fields_ = ([(n, ctypes.c_void_p) for n in _P2_PTRS]
+                + [(n, ctypes.c_int64) for n in _P2_INTS])
+
+
+def native_pack_kf_part2(enc: "NativeEncoder", arrays: dict,
+                         scalars: dict) -> None:
+    """Pack a whole two-level-partition KEY-frame tile in one native call.
+    Arrays must stay alive for the duration (caller keeps references);
+    CDF arrays are adapted in place."""
+    p = Pack2Params()
+    for name in _P2_PTRS:
+        arr = arrays[name]
+        setattr(p, name, ctypes.c_void_p(arr.ctypes.data)
+                if arr is not None else None)
+    for name in _P2_INTS:
+        setattr(p, name, int(scalars[name]))
+    rc = enc._lib.ec_enc_pack_kf_part2(enc._h, ctypes.byref(p))
+    if rc != 0:
+        raise RuntimeError(f"native part2 pack failed: {rc}")

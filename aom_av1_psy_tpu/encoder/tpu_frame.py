@@ -54,6 +54,22 @@ def _pad_plane(src: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
+_TRANSFER_WARM = False
+
+
+def _warm_transfer():
+    """One tiny device->host fetch before any big dispatch: the axon
+    platform's FIRST transfer RPC of a process has pathological latency
+    (0.2s-600s, PERF_NOTES.md); paying it on a 4-int array before the
+    wavefronts queue up keeps it off the big programs' critical path."""
+    global _TRANSFER_WARM
+    if _TRANSFER_WARM:
+        return
+    import jax.numpy as jnp
+    np.asarray(jnp.zeros(4, jnp.int32))
+    _TRANSFER_WARM = True
+
+
 class TpuFrameEncoder:
     """Encodes one all-intra KEY frame through the fused TPU plan + native
     pack path. API mirror of encoder/frame.py:FrameEncoder."""
@@ -61,6 +77,7 @@ class TpuFrameEncoder:
     def __init__(self, frame: Frame, cfg: EncoderConfig):
         if not available():
             raise RuntimeError("TPU path requires the native EC library")
+        _warm_transfer()
         if cfg.lossless or cfg.base_q_idx == 0:
             raise NotImplementedError("lossless uses FrameEncoder (WHT)")
         self.cfg = cfg
@@ -71,21 +88,43 @@ class TpuFrameEncoder:
         self.nplanes = 1 if frame.monochrome else 3
         pw, ph = self.mi_cols * 4, self.mi_rows * 4
 
-        want = {int(BlockSize.BLOCK_8X8): 8, int(BlockSize.BLOCK_16X16): 16,
-                int(BlockSize.BLOCK_32X32): 32}.get(cfg.block_size, 16)
-        bs = want
-        while bs > 8 and (pw % bs or ph % bs):
-            bs //= 2
-        assert pw % bs == 0 and ph % bs == 0
-        self.bs = bs
-        self.R, self.C = ph // bs, pw // bs
+        # two-level partition plan (32 -> 16) unless the caller forces a
+        # small uniform grid or the mi dims leave a partial square leaf at
+        # the edge (tpu_intra.plan_part_supported)
+        self.use_part = (
+            cfg.block_size >= int(BlockSize.BLOCK_16X16)
+            and tpu_intra.plan_part_supported(self.mi_rows, self.mi_cols))
+        if self.use_part:
+            # blocks may overhang the mi area at the frame edge (legal:
+            # the decoder clips recon writes); pad source to 32 multiples
+            pw32 = (pw + 31) // 32 * 32
+            ph32 = (ph + 31) // 32 * 32
+            self.bs = 16                     # rdmult-grid granularity
+            self.R, self.C = ph32 // 16, pw32 // 16
+            planes = frame.planes()
+            self.srcp = [_pad_plane(planes[0].astype(np.int32), ph32, pw32)]
+            if self.nplanes > 1:
+                for p in (1, 2):
+                    self.srcp.append(_pad_plane(planes[p].astype(np.int32),
+                                                ph32 // 2, pw32 // 2))
+        else:
+            want = {int(BlockSize.BLOCK_8X8): 8,
+                    int(BlockSize.BLOCK_16X16): 16,
+                    int(BlockSize.BLOCK_32X32): 32}.get(cfg.block_size, 16)
+            bs = want
+            while bs > 8 and (pw % bs or ph % bs):
+                bs //= 2
+            assert pw % bs == 0 and ph % bs == 0
+            self.bs = bs
+            self.R, self.C = ph // bs, pw // bs
 
+            planes = frame.planes()
+            self.srcp = [_pad_plane(planes[0].astype(np.int32), ph, pw)]
+            if self.nplanes > 1:
+                for p in (1, 2):
+                    self.srcp.append(_pad_plane(planes[p].astype(np.int32),
+                                                ph // 2, pw // 2))
         planes = frame.planes()
-        self.srcp = [_pad_plane(planes[0].astype(np.int32), ph, pw)]
-        if self.nplanes > 1:
-            for p in (1, 2):
-                self.srcp.append(_pad_plane(planes[p].astype(np.int32),
-                                            ph // 2, pw // 2))
 
         from ..ec import costs as EC_costs
         self.rdmult = EC_costs.compute_rd_mult(cfg.base_q_idx)
@@ -151,11 +190,19 @@ class TpuFrameEncoder:
 
         import time
         t0 = time.perf_counter()
-        plan = tpu_intra.plan_frame(self.srcp, self.cfg.base_q_idx, self.bs,
-                                    fc, self.rdmult)
+        if self.use_part:
+            plan = tpu_intra.plan_frame_part(
+                self.srcp, self.cfg.base_q_idx, fc, self.rdmult,
+                self.mi_rows, self.mi_cols)
+        else:
+            plan = tpu_intra.plan_frame(self.srcp, self.cfg.base_q_idx,
+                                        self.bs, fc, self.rdmult)
         t1 = time.perf_counter()
         self.plan = plan
-        tile_data = self._pack(plan, fc, fh)
+        if self.use_part:
+            tile_data = self._pack2(plan, fc, fh)
+        else:
+            tile_data = self._pack(plan, fc, fh)
         self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
 
         td = bytes([0x12, 0x00])
@@ -287,6 +334,137 @@ class TpuFrameEncoder:
         enc = NativeEncoder()
         enc.allow_update = not fh.disable_cdf_update
         native_pack_kf_uniform(enc, arrays, scalars)
+        return enc.done()
+
+    # ------------------------------------------------------------------
+    def _pack2(self, plan: dict, fc: FrameContext, fh: FrameHeader) -> bytes:
+        """Two-level partition pack: one native call over the 32/16 tree
+        (native/ec.cpp ec_enc_pack_kf_part2)."""
+        from ..ec.native_coder import native_pack_kf_part2
+        plan_modes = np.asarray(tpu_intra.PLAN_MODES, np.int32)
+        R2, C2 = plan["y_mode16"].shape
+        Rc, Cc = R2 // 2, C2 // 2
+
+        def av1_modes(idx):
+            return np.ascontiguousarray(plan_modes[idx], np.int32)
+
+        tx32, tx16, tx8 = (int(TxSize.TX_32X32), int(TxSize.TX_16X16),
+                           int(TxSize.TX_8X8))
+        e32, e16, e8 = (txsize_entropy_ctx(t) for t in (tx32, tx16, tx8))
+        # TX_16X16 luma tx-type coding (set 2, DCT symbol)
+        set_type = 2
+        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        ext_tx16 = np.ascontiguousarray(
+            fc.intra_ext_tx_cdf[eset][int(TXSIZE_SQR[tx16])])
+        fc.intra_ext_tx_cdf[eset][int(TXSIZE_SQR[tx16])] = ext_tx16
+
+        if self.nplanes > 1:
+            uv_mode16 = av1_modes(plan["uv_mode16"])
+            uv_mode8 = av1_modes(plan["uv_mode8"])
+            uv_lv16 = np.ascontiguousarray(plan["uv_levels16"], np.int32)
+            uv_lv8 = np.ascontiguousarray(plan["uv_levels8"], np.int32)
+            uv_eob16 = np.ascontiguousarray(plan["uv_eob16"], np.int32)
+            uv_eob8 = np.ascontiguousarray(plan["uv_eob8"], np.int32)
+        else:
+            uv_mode16 = np.zeros((Rc, Cc), np.int32)
+            uv_mode8 = np.zeros((R2, C2), np.int32)
+            uv_lv16 = np.zeros((2, Rc, Cc, 256), np.int32)
+            uv_lv8 = np.zeros((2, R2, C2, 64), np.int32)
+            uv_eob16 = np.zeros((2, Rc, Cc), np.int32)
+            uv_eob8 = np.zeros((2, R2, C2), np.int32)
+
+        # per-mi skip map (for filter searches / debug)
+        skip32 = (plan["y_eob32"] == 0) & (uv_eob16 == 0).all(0)
+        skip16 = (plan["y_eob16"] == 0) & (uv_eob8 == 0).all(0)
+        sp = plan["split32"].astype(bool)
+        skip_blk = np.where(np.repeat(np.repeat(sp, 2, 0), 2, 1), skip16,
+                            np.repeat(np.repeat(skip32, 2, 0), 2, 1))
+        self.mi_skip = np.repeat(np.repeat(skip_blk.astype(np.int32), 4, 0),
+                                 4, 1)[: self.mi_rows, : self.mi_cols]
+
+        arrays = {
+            "split32": np.ascontiguousarray(plan["split32"], np.uint8),
+            "y_mode32": av1_modes(plan["y_mode32"]),
+            "y_mode16": av1_modes(plan["y_mode16"]),
+            "y_lv32": np.ascontiguousarray(plan["y_levels32"], np.int32),
+            "y_lv16": np.ascontiguousarray(plan["y_levels16"], np.int32),
+            "y_eob32": np.ascontiguousarray(plan["y_eob32"], np.int32),
+            "y_eob16": np.ascontiguousarray(plan["y_eob16"], np.int32),
+            "uv_mode16": uv_mode16, "uv_mode8": uv_mode8,
+            "uv_lv16": uv_lv16, "uv_lv8": uv_lv8,
+            "uv_eob16": uv_eob16, "uv_eob8": uv_eob8,
+            "scan32": np.ascontiguousarray(tables.scan_table(tx32, 0),
+                                           np.int32),
+            "scan16": np.ascontiguousarray(tables.scan_table(tx16, 0),
+                                           np.int32),
+            "scan8": np.ascontiguousarray(tables.scan_table(tx8, 0),
+                                          np.int32),
+            "nzoff32": np.ascontiguousarray(
+                tables.get(f"nz_map_ctx_offset_ts{tx32}"), np.int32),
+            "nzoff16": np.ascontiguousarray(
+                tables.get(f"nz_map_ctx_offset_ts{tx16}"), np.int32),
+            "nzoff8": np.ascontiguousarray(
+                tables.get(f"nz_map_ctx_offset_ts{tx8}"), np.int32),
+            "eob_group_start": np.ascontiguousarray(
+                tables.get("eob_group_start"), np.int32),
+            "eob_offset_bits": np.ascontiguousarray(
+                tables.get("eob_offset_bits"), np.int32),
+            "intra_mode_ctx": np.ascontiguousarray(INTRA_MODE_CONTEXT,
+                                                   np.int32),
+            "part_cdf": fc.partition_cdf, "skip_cdf": fc.skip_txfm_cdfs,
+            "kf_y_cdf": fc.kf_y_cdf, "angle_cdf": fc.angle_delta_cdf,
+            "uv_cdf": np.ascontiguousarray(fc.uv_mode_cdf[1]),
+            "ext_tx16": ext_tx16,
+            "txb_skip_y32": fc.txb_skip_cdf[e32],
+            "txb_skip_y16": fc.txb_skip_cdf[e16],
+            "txb_skip_uv16": fc.txb_skip_cdf[e16],
+            "txb_skip_uv8": fc.txb_skip_cdf[e8],
+            "eob_y32": fc.eob_flag_cdf1024[0][0],
+            "eob_y16": fc.eob_flag_cdf256[0][0],
+            "eob_uv16": fc.eob_flag_cdf256[1][0],
+            "eob_uv8": fc.eob_flag_cdf64[1][0],
+            "eobex_y32": fc.eob_extra_cdf[e32][0],
+            "eobex_y16": fc.eob_extra_cdf[e16][0],
+            "eobex_uv16": fc.eob_extra_cdf[e16][1],
+            "eobex_uv8": fc.eob_extra_cdf[e8][1],
+            "beob_y32": fc.coeff_base_eob_cdf[e32][0],
+            "beob_y16": fc.coeff_base_eob_cdf[e16][0],
+            "beob_uv16": fc.coeff_base_eob_cdf[e16][1],
+            "beob_uv8": fc.coeff_base_eob_cdf[e8][1],
+            "base_y32": fc.coeff_base_cdf[e32][0],
+            "base_y16": fc.coeff_base_cdf[e16][0],
+            "base_uv16": fc.coeff_base_cdf[e16][1],
+            "base_uv8": fc.coeff_base_cdf[e8][1],
+            "br_y32": fc.coeff_br_cdf[min(e32, 3)][0],
+            "br_y16": fc.coeff_br_cdf[min(e16, 3)][0],
+            "br_uv16": fc.coeff_br_cdf[min(e16, 3)][1],
+            "br_uv8": fc.coeff_br_cdf[min(e8, 3)][1],
+            "dcs_y": fc.dc_sign_cdf[0],
+            "dcs_uv": fc.dc_sign_cdf[1],
+        }
+        for k, v in arrays.items():
+            assert v.flags["C_CONTIGUOUS"], k
+        self._keepalive = arrays
+        bs32 = int(BlockSize.BLOCK_32X32)
+        bs16 = int(BlockSize.BLOCK_16X16)
+        scalars = {
+            "R": Rc, "C": Cc,
+            "mi_rows": self.mi_rows, "mi_cols": self.mi_cols,
+            "nplanes": self.nplanes,
+            "eobn_y32": 5 + int(TXSIZE_LOG2_MINUS4[tx32]),
+            "eobn_y16": 5 + int(TXSIZE_LOG2_MINUS4[tx16]),
+            "eobn_uv16": 5 + int(TXSIZE_LOG2_MINUS4[tx16]),
+            "eobn_uv8": 5 + int(TXSIZE_LOG2_MINUS4[tx8]),
+            "txt16_nsyms": int(NUM_EXT_TX_SET[set_type]),
+            "txt16_sym": int(EXT_TX_IND[set_type][0]),
+            "pctx_a32": int(PARTITION_CTX_ABOVE[bs32]),
+            "pctx_l32": int(PARTITION_CTX_LEFT[bs32]),
+            "pctx_a16": int(PARTITION_CTX_ABOVE[bs16]),
+            "pctx_l16": int(PARTITION_CTX_LEFT[bs16]),
+        }
+        enc = NativeEncoder()
+        enc.allow_update = not fh.disable_cdf_update
+        native_pack_kf_part2(enc, arrays, scalars)
         return enc.done()
 
 

@@ -817,3 +817,329 @@ int ec_dec_coeffs(Decoder *d, int32_t *coeff, int width, int height, int bhl,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pack v2: KEY-frame tile with a two-level partition tree (64 -> 32 cells,
+// each PARTITION_NONE or SPLIT into four 16s) from the partitioned TPU plan
+// (encoder/tpu_intra.py plan_frame_part). Mirrors the same write order as
+// the v1 uniform pack; adds per-bsize mode/level arrays, rolling mode/skip
+// neighbour context (the decoder's above_mi/left_mi), and per-tx-size CDF
+// bundles. av1/encoder/bitstream.c write_modes / encodeframe.c analogue.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct Pack2Params {  // mirrored by ctypes in ec/native_coder.py
+  // plan arrays (int32 unless noted); grids: 32-level (R,C), 16-level (2R,2C)
+  const uint8_t *split32;     // R*C
+  const int32_t *y_mode32;    // AV1 mode ids
+  const int32_t *y_mode16;
+  const int32_t *y_lv32;      // R*C*1024 (C layout col*H+row)
+  const int32_t *y_lv16;      // 2R*2C*256
+  const int32_t *y_eob32;
+  const int32_t *y_eob16;
+  const int32_t *uv_mode16;   // chroma of NONE cells (R,C)
+  const int32_t *uv_mode8;    // chroma of split subs (2R,2C)
+  const int32_t *uv_lv16;     // 2*R*C*256
+  const int32_t *uv_lv8;      // 2*2R*2C*64
+  const int32_t *uv_eob16;    // 2*R*C
+  const int32_t *uv_eob8;     // 2*2R*2C
+  // scans / nz offsets per tx size
+  const int32_t *scan32, *scan16, *scan8;
+  const int32_t *nzoff32, *nzoff16, *nzoff8;
+  const int32_t *eob_group_start, *eob_offset_bits, *intra_mode_ctx;
+  // CDFs (adapted in place)
+  uint16_t *part_cdf;   // (20,11)
+  uint16_t *skip_cdf;   // (3,3)
+  uint16_t *kf_y_cdf;   // (5,5,14)
+  uint16_t *angle_cdf;  // (8,8)
+  uint16_t *uv_cdf;     // (13,15) cfl_allowed=1
+  uint16_t *ext_tx16;   // (13,17) intra set for TX_16X16 luma
+  // per-size coeff bundles (slices at the right ectx/plane)
+  uint16_t *txb_skip_y32, *txb_skip_y16, *txb_skip_uv16, *txb_skip_uv8;
+  uint16_t *eob_y32, *eob_y16, *eob_uv16, *eob_uv8;      // one row each
+  uint16_t *eobex_y32, *eobex_y16, *eobex_uv16, *eobex_uv8;  // (9,3)
+  uint16_t *beob_y32, *beob_y16, *beob_uv16, *beob_uv8;  // (4,4)
+  uint16_t *base_y32, *base_y16, *base_uv16, *base_uv8;  // (42,5)
+  uint16_t *br_y32, *br_y16, *br_uv16, *br_uv8;          // (21,5)
+  uint16_t *dcs_y, *dcs_uv;                              // (3,3)
+  // scalars
+  int64_t R, C, mi_rows, mi_cols, nplanes;
+  int64_t eobn_y32, eobn_y16, eobn_uv16, eobn_uv8;
+  int64_t txt16_nsyms, txt16_sym;        // TX_16X16 luma tx-type coding
+  int64_t pctx_a32, pctx_l32, pctx_a16, pctx_l16;  // PARTITION_CTX_* values
+};
+
+}  // extern "C"
+
+namespace {
+
+struct Pack2State {
+  const Pack2Params *p;
+  Encoder *e;
+  std::vector<int32_t> above_part;
+  int32_t left_part[16];
+  std::vector<uint8_t> above_mode, above_skip;   // per mi col (AV1 mode id)
+  uint8_t left_mode[16], left_skip[16];
+  std::vector<uint8_t> above_ent_y, above_ent_u, above_ent_v;
+  uint8_t left_ent_y[16], left_ent_u[8], left_ent_v[8];
+};
+
+struct TxBundle {
+  uint16_t *txb_skip;  // (13,3)
+  uint16_t *eob;       // one row
+  uint16_t *eobex;     // (9,3)
+  uint16_t *beob;      // (4,4)
+  uint16_t *base;      // (42,5)
+  uint16_t *br;        // (21,5)
+  uint16_t *dcs;       // (3,3)
+  const int32_t *scan;
+  const int32_t *nzoff;
+  int eob_nsyms;
+  int width;           // tx dim (square)
+  int bhl;
+};
+
+// txb with a bundle; returns cul_level. mode indexes ext-tx cdf (luma 16).
+int pack2_txb(Pack2State &st, const TxBundle &tb, bool luma16,
+              const int32_t *levels, int eob, int txb_skip_ctx,
+              int dc_sign_ctx, int mode) {
+  const Pack2Params &p = *st.p;
+  Encoder *e = st.e;
+  e->encode_symbol(eob == 0 ? 1 : 0, tb.txb_skip + txb_skip_ctx * 3, 2);
+  if (eob == 0) return 0;
+  if (luma16 && p.txt16_nsyms > 0)
+    e->encode_symbol(static_cast<int>(p.txt16_sym), p.ext_tx16 + mode * 17,
+                     static_cast<int>(p.txt16_nsyms));
+  int eob_pt = 0;
+  while (eob_pt + 1 < 12 && p.eob_group_start[eob_pt + 1] <= eob) ++eob_pt;
+  const int eob_extra = eob - p.eob_group_start[eob_pt];
+  e->encode_symbol(eob_pt - 1, tb.eob, tb.eob_nsyms);
+  const int ofs_bits = p.eob_offset_bits[eob_pt];
+  if (ofs_bits > 0) {
+    e->encode_symbol((eob_extra >> (ofs_bits - 1)) & 1,
+                     tb.eobex + (eob_pt - 3) * 3, 2);
+    for (int i = 1; i < ofs_bits; ++i)
+      e->write_bit((eob_extra >> (ofs_bits - 1 - i)) & 1);
+  }
+  return ec_enc_coeffs(e, levels, tb.width, tb.width, tb.bhl, eob, tb.scan,
+                       0, tb.nzoff, tb.beob, 4, tb.base, 5, tb.br, 5,
+                       tb.dcs + dc_sign_ctx * 3);
+}
+
+void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
+                 int mi_row, int mi_col, int bs) {
+  const Pack2Params &p = *st.p;
+  Encoder *e = st.e;
+  const int C2 = static_cast<int>(p.C) * 2;
+  const int Cc = static_cast<int>(p.C);
+  const int total32 = static_cast<int>(p.R) * Cc;
+  const int total16 = 4 * total32;
+  int ymode, uvm;
+  const int32_t *ylv;
+  int yeob;
+  const int32_t *uvlv[2];
+  int uveob[2];
+  if (bs == 32) {
+    const int bi = (mi_row / 8) * Cc + (mi_col / 8);
+    ymode = p.y_mode32[bi];
+    ylv = p.y_lv32 + static_cast<long>(bi) * 1024;
+    yeob = p.y_eob32[bi];
+    uvm = p.nplanes > 1 ? p.uv_mode16[bi] : 0;
+    for (int pl = 0; pl < 2; ++pl) {
+      uvlv[pl] = p.uv_lv16 + (static_cast<long>(pl) * total32 + bi) * 256;
+      uveob[pl] = p.nplanes > 1 ? p.uv_eob16[pl * total32 + bi] : 0;
+    }
+  } else {
+    const int bi = (mi_row / 4) * C2 + (mi_col / 4);
+    ymode = p.y_mode16[bi];
+    ylv = p.y_lv16 + static_cast<long>(bi) * 256;
+    yeob = p.y_eob16[bi];
+    uvm = p.nplanes > 1 ? p.uv_mode8[bi] : 0;
+    for (int pl = 0; pl < 2; ++pl) {
+      uvlv[pl] = p.uv_lv8 + (static_cast<long>(pl) * total16 + bi) * 64;
+      uveob[pl] = p.nplanes > 1 ? p.uv_eob8[pl * total16 + bi] : 0;
+    }
+  }
+  const bool up = mi_row > 0, left = mi_col > 0;
+  int skip = yeob == 0;
+  if (p.nplanes > 1) skip = skip && uveob[0] == 0 && uveob[1] == 0;
+
+  int skip_ctx = 0;
+  if (up) skip_ctx += st.above_skip[mi_col];
+  if (left) skip_ctx += st.left_skip[mi_row & 15];
+  e->encode_symbol(skip, p.skip_cdf + skip_ctx * 3, 2);
+
+  const int am = up ? st.above_mode[mi_col] : 0;
+  const int lm = left ? st.left_mode[mi_row & 15] : 0;
+  const int actx = p.intra_mode_ctx[am], lctx = p.intra_mode_ctx[lm];
+  e->encode_symbol(ymode, p.kf_y_cdf + (actx * 5 + lctx) * 14, 13);
+  if (ymode >= 1 && ymode <= 8)
+    e->encode_symbol(3, p.angle_cdf + (ymode - 1) * 8, 7);
+  if (p.nplanes > 1) {
+    e->encode_symbol(uvm, p.uv_cdf + ymode * 15, 14);
+    if (uvm >= 1 && uvm <= 8)
+      e->encode_symbol(3, p.angle_cdf + (uvm - 1) * 8, 7);
+  }
+
+  // rolling neighbour state over the block's mi span
+  const int w4 = bs / 4;
+  for (int i = 0; i < w4 && mi_col + i < p.mi_cols; ++i) {
+    st.above_mode[mi_col + i] = static_cast<uint8_t>(ymode);
+    st.above_skip[mi_col + i] = static_cast<uint8_t>(skip);
+  }
+  for (int i = 0; i < w4; ++i) {
+    st.left_mode[(mi_row + i) & 15] = static_cast<uint8_t>(ymode);
+    st.left_skip[(mi_row + i) & 15] = static_cast<uint8_t>(skip);
+  }
+
+  const int wu = bs / 4;       // luma tx 4px units
+  const int cwu = wu / 2;
+  const int acol = mi_col, lrow = mi_row & 15;
+  const int cacol = mi_col >> 1, clrow = (mi_row & 15) >> 1;
+  // av1_set_entropy_contexts: tx units past the frame (mi) edge stay 0 —
+  // overhanging blocks write cul only to the visible units
+  int vis_w = static_cast<int>(p.mi_cols) - mi_col;
+  int vis_h = static_cast<int>(p.mi_rows) - mi_row;
+  if (vis_w > wu) vis_w = wu;
+  if (vis_h > wu) vis_h = wu;
+  // chroma 4px units: (visible mi * 4 luma px >> 1) >> 2
+  int cvis_w = (vis_w * 4 >> 1) >> 2;
+  int cvis_h = (vis_h * 4 >> 1) >> 2;
+  if (cvis_w > cwu) cvis_w = cwu;
+  if (cvis_h > cwu) cvis_h = cwu;
+  if (skip) {
+    std::memset(st.above_ent_y.data() + acol, 0, wu);
+    std::memset(st.left_ent_y + lrow, 0, wu);
+    if (p.nplanes > 1) {
+      std::memset(st.above_ent_u.data() + cacol, 0, cwu);
+      std::memset(st.above_ent_v.data() + cacol, 0, cwu);
+      std::memset(st.left_ent_u + clrow, 0, cwu);
+      std::memset(st.left_ent_v + clrow, 0, cwu);
+    }
+    return;
+  }
+
+  int dctx = dc_sign_ctx_from(st.above_ent_y.data() + acol, wu,
+                              st.left_ent_y + lrow, wu);
+  int cul = pack2_txb(st, yb, bs == 16, ylv, yeob, 0, dctx, ymode);
+  std::memset(st.above_ent_y.data() + acol, cul, vis_w);
+  std::memset(st.above_ent_y.data() + acol + vis_w, 0, wu - vis_w);
+  std::memset(st.left_ent_y + lrow, cul, vis_h);
+  std::memset(st.left_ent_y + lrow + vis_h, 0, wu - vis_h);
+
+  if (p.nplanes > 1) {
+    uint8_t *aents[2] = { st.above_ent_u.data(), st.above_ent_v.data() };
+    uint8_t *lents[2] = { st.left_ent_u, st.left_ent_v };
+    for (int pl = 0; pl < 2; ++pl) {
+      const uint8_t *a = aents[pl] + cacol;
+      const uint8_t *l = lents[pl] + clrow;
+      int above_ec = 0, left_ec = 0;
+      for (int k = 0; k < cwu; ++k) above_ec |= a[k];
+      for (int k = 0; k < cwu; ++k) left_ec |= l[k];
+      const int sctx = (above_ec ? 1 : 0) + (left_ec ? 1 : 0) + 7;
+      dctx = dc_sign_ctx_from(a, cwu, l, cwu);
+      cul = pack2_txb(st, uvb, false, uvlv[pl], uveob[pl], sctx, dctx, 0);
+      std::memset(aents[pl] + cacol, cul, cvis_w);
+      std::memset(aents[pl] + cacol + cvis_w, 0, cwu - cvis_w);
+      std::memset(lents[pl] + clrow, cul, cvis_h);
+      std::memset(lents[pl] + clrow + cvis_h, 0, cwu - cvis_h);
+    }
+  }
+}
+
+void pack2_partition(Pack2State &st, const TxBundle &y32, const TxBundle &y16,
+                     const TxBundle &uv16, const TxBundle &uv8,
+                     int mi_row, int mi_col, int bsize) {
+  const Pack2Params &p = *st.p;
+  if (mi_row >= p.mi_rows || mi_col >= p.mi_cols) return;
+  const int bsl = (bsize - 3) / 3;
+  const int mi_w = 2 << bsl;
+  const int hbs = mi_w / 2;
+  const bool has_rows = mi_row + hbs < p.mi_rows;
+  const bool has_cols = mi_col + hbs < p.mi_cols;
+  int partition;
+  if (bsize == 6) {           // BLOCK_16X16 leaf
+    partition = PART_NONE;
+  } else if (bsize == 9) {    // BLOCK_32X32 cell
+    partition = p.split32[(mi_row / 8) * p.C + (mi_col / 8)]
+                    ? PART_SPLIT : PART_NONE;
+  } else {                    // BLOCK_64X64 superblock
+    partition = PART_SPLIT;
+  }
+  const int above = (st.above_part[mi_col] >> bsl) & 1;
+  const int lft = (st.left_part[mi_row & 15] >> bsl) & 1;
+  const int ctx = (lft * 2 + above) + bsl * 4;
+  uint16_t *cdf = p.part_cdf + ctx * 11;
+  if (has_rows && has_cols) {
+    st.e->encode_symbol(partition, cdf, 10);
+  } else if (!has_rows && !has_cols) {
+    // implied split, nothing coded
+  } else {
+    uint16_t g[3];
+    gather_partition_cdf(cdf, /*horz=*/!has_cols, g);
+    const int sym = partition == PART_SPLIT ? 1 : 0;
+    const unsigned fl = sym > 0 ? g[sym - 1] : 32768;
+    st.e->encode_q15(fl, g[sym], sym, 2);
+  }
+  if (partition == PART_NONE) {
+    const bool is32 = bsize == 9;
+    pack2_block(st, is32 ? y32 : y16, is32 ? uv16 : uv8, mi_row, mi_col,
+                is32 ? 32 : 16);
+    const int pa = static_cast<int>(is32 ? p.pctx_a32 : p.pctx_a16);
+    const int pl = static_cast<int>(is32 ? p.pctx_l32 : p.pctx_l16);
+    for (int i = 0; i < mi_w; ++i) st.above_part[mi_col + i] = pa;
+    for (int i = 0; i < mi_w; ++i) st.left_part[(mi_row + i) & 15] = pl;
+  } else {
+    const int sub = bsize - 3;
+    pack2_partition(st, y32, y16, uv16, uv8, mi_row, mi_col, sub);
+    pack2_partition(st, y32, y16, uv16, uv8, mi_row, mi_col + hbs, sub);
+    pack2_partition(st, y32, y16, uv16, uv8, mi_row + hbs, mi_col, sub);
+    pack2_partition(st, y32, y16, uv16, uv8, mi_row + hbs, mi_col + hbs, sub);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int ec_enc_pack_kf_part2(Encoder *e, const Pack2Params *params) {
+  Pack2State st;
+  st.p = params;
+  st.e = e;
+  const int mi_cols = static_cast<int>(params->mi_cols);
+  const int mi_rows = static_cast<int>(params->mi_rows);
+  const int ncols = (mi_cols + 15) / 16 * 16;
+  st.above_part.assign(ncols, 0);
+  st.above_mode.assign(ncols, 0);
+  st.above_skip.assign(ncols, 0);
+  st.above_ent_y.assign(ncols, 0);
+  st.above_ent_u.assign(ncols / 2 + 1, 0);
+  st.above_ent_v.assign(ncols / 2 + 1, 0);
+  const Pack2Params &p = *params;
+  TxBundle y32 = { p.txb_skip_y32, p.eob_y32, p.eobex_y32, p.beob_y32,
+                   p.base_y32, p.br_y32, p.dcs_y, p.scan32, p.nzoff32,
+                   static_cast<int>(p.eobn_y32), 32, 5 };
+  TxBundle y16 = { p.txb_skip_y16, p.eob_y16, p.eobex_y16, p.beob_y16,
+                   p.base_y16, p.br_y16, p.dcs_y, p.scan16, p.nzoff16,
+                   static_cast<int>(p.eobn_y16), 16, 4 };
+  TxBundle uv16 = { p.txb_skip_uv16, p.eob_uv16, p.eobex_uv16, p.beob_uv16,
+                    p.base_uv16, p.br_uv16, p.dcs_uv, p.scan16, p.nzoff16,
+                    static_cast<int>(p.eobn_uv16), 16, 4 };
+  TxBundle uv8 = { p.txb_skip_uv8, p.eob_uv8, p.eobex_uv8, p.beob_uv8,
+                   p.base_uv8, p.br_uv8, p.dcs_uv, p.scan8, p.nzoff8,
+                   static_cast<int>(p.eobn_uv8), 8, 3 };
+  for (int r0 = 0; r0 < mi_rows; r0 += 16) {
+    std::memset(st.left_part, 0, sizeof(st.left_part));
+    std::memset(st.left_mode, 0, sizeof(st.left_mode));
+    std::memset(st.left_skip, 0, sizeof(st.left_skip));
+    std::memset(st.left_ent_y, 0, sizeof(st.left_ent_y));
+    std::memset(st.left_ent_u, 0, sizeof(st.left_ent_u));
+    std::memset(st.left_ent_v, 0, sizeof(st.left_ent_v));
+    for (int c0 = 0; c0 < mi_cols; c0 += 16)
+      pack2_partition(st, y32, y16, uv16, uv8, r0, c0, 12 /*BLOCK_64X64*/);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -134,15 +134,15 @@ def test_plan_recon_is_decode_recon():
     f = Frame(y, u, v)
     enc = NoLpf(f, EncoderConfig(base_q_idx=60))
     data = enc.encode()
-    plan = tpu_intra.plan_frame(enc.srcp, 60, enc.bs, type(enc.fc)(60),
-                                enc.rdmult, fetch_recon=True)
+    recon = [np.asarray(r) for r in enc.plan["recon_dev"]]
     # chroma must actually exercise non-DC modes for this to guard anything
-    uv_modes = np.unique(np.asarray(tpu_intra.PLAN_MODES)[plan["uv_mode"]])
+    uvm = enc.plan["uv_mode8"] if enc.use_part else enc.plan["uv_mode"]
+    uv_modes = np.unique(np.asarray(tpu_intra.PLAN_MODES)[uvm])
     assert len(uv_modes) > 1, uv_modes
     fr = Av1Decoder().decode_packet(data)[0]
-    for name, d_, p_ in (("y", fr.y, plan["recon"][0]),
-                         ("u", fr.u, plan["recon"][1]),
-                         ("v", fr.v, plan["recon"][2])):
+    for name, d_, p_ in (("y", fr.y, recon[0]),
+                         ("u", fr.u, recon[1]),
+                         ("v", fr.v, recon[2])):
         d_ = d_.astype(np.int32)
         np.testing.assert_array_equal(d_, p_[: d_.shape[0], : d_.shape[1]],
                                       err_msg=name)
