@@ -260,3 +260,72 @@ def native_pack_kf_part2(enc: "NativeEncoder", arrays: dict,
     rc = enc._lib.ec_enc_pack_kf_part2(enc._h, ctypes.byref(p))
     if rc != 0:
         raise RuntimeError(f"native part2 pack failed: {rc}")
+
+
+class ScriptBundle(ctypes.Structure):
+    """ctypes mirror of ScriptBundle in native/ec.cpp."""
+
+    _fields_ = (
+        [(n, ctypes.c_void_p) for n in (
+            "txb_skip", "eob", "eobex", "beob", "base", "br", "dcs",
+            "scan", "nzoff")]
+        + [(n, ctypes.c_int64) for n in ("eob_nsyms", "width", "bhl", "n")]
+        + [("ext_tx", ctypes.c_void_p)]
+        + [(n, ctypes.c_int64) for n in ("ext_nsyms", "ext_sym",
+                                         "ext_stride")]
+    )
+
+
+def make_bundle(txb_skip, eob, eobex, beob, base, br, dcs, scan, nzoff,
+                eob_nsyms, width, ext_tx=None, ext_nsyms=0, ext_sym=0,
+                ext_stride=0):
+    b = ScriptBundle()
+    b._keep = [txb_skip, eob, eobex, beob, base, br, dcs, scan, nzoff,
+               ext_tx]  # pointers outlive any caller temporaries
+    for name, arr in (("txb_skip", txb_skip), ("eob", eob), ("eobex", eobex),
+                      ("beob", beob), ("base", base), ("br", br),
+                      ("dcs", dcs), ("scan", scan), ("nzoff", nzoff)):
+        assert arr.flags["C_CONTIGUOUS"], name
+        setattr(b, name, ctypes.c_void_p(arr.ctypes.data))
+    b.eob_nsyms = int(eob_nsyms)
+    b.width = int(width)
+    b.bhl = int(width).bit_length() - 1
+    b.n = int(width) * int(width)
+    if ext_tx is not None:
+        assert ext_tx.flags["C_CONTIGUOUS"]
+        b.ext_tx = ctypes.c_void_p(ext_tx.ctypes.data)
+        b.ext_nsyms = int(ext_nsyms)
+        b.ext_sym = int(ext_sym)
+        b.ext_stride = int(ext_stride)
+    return b
+
+
+def native_run_script(enc: "NativeEncoder", ops: np.ndarray,
+                      cdf_tables: list, bundles: list,
+                      levels_base: np.ndarray, eob_group_start: np.ndarray,
+                      eob_offset_bits: np.ndarray) -> None:
+    """Execute a symbol script (see native/ec.cpp ec_enc_run_script).
+
+    ops: (N, 5) int32. cdf_tables: list of 2-D uint16 arrays (adapted in
+    place; cdf_id = list index, row stride = trailing dim). bundles: list
+    of ScriptBundle. levels_base: int32 flat coefficient store indexed by
+    op2's levels_index * bundle.n. Caller keeps every array alive."""
+    lib = enc._lib
+    ops = np.ascontiguousarray(ops, np.int32)
+    assert ops.ndim == 2 and ops.shape[1] == 5
+    n = len(cdf_tables)
+    ptrs = (ctypes.c_void_p * n)()
+    strides = np.empty(n, np.int64)
+    for i, t in enumerate(cdf_tables):
+        assert t.dtype == np.uint16 and t.flags["C_CONTIGUOUS"], i
+        ptrs[i] = t.ctypes.data
+        strides[i] = t.shape[-1]
+    barr = (ScriptBundle * len(bundles))(*bundles)
+    lv = np.ascontiguousarray(levels_base, np.int32)
+    egs = np.ascontiguousarray(eob_group_start, np.int32)
+    eob_bits = np.ascontiguousarray(eob_offset_bits, np.int32)
+    rc = lib.ec_enc_run_script(
+        enc._h, _ptr(ops), len(ops), ptrs, _ptr(strides), barr, _ptr(lv),
+        _ptr(egs), _ptr(eob_bits))
+    if rc != 0:
+        raise RuntimeError(f"script failed: {rc}")

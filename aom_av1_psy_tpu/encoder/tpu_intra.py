@@ -125,11 +125,21 @@ def _predict_all_modes(above, left, tl, have_a, have_l, bs):
 
 
 def _quantize(flat, dc_q, ac_q, shift):
-    """av1_quantize_fp-domain levels from (B, n) coefficients (int32)."""
+    """av1_quantize_b-domain levels from (B, n) coefficients (int32).
+
+    The final encode path of the reference quantizes with the B quantizer
+    (encodemb.c:422 AV1_XFORM_QUANT_B when trellis is off): a zbin dead
+    zone of (84|80)/128 * q (get_qzbin_factor, av1_quantize.c:590) and
+    48/128 rounding — substantially fewer noise coefficients than the
+    round-half FP quantizer at equal q."""
     n = flat.shape[-1]
     dqv = jnp.full((n,), ac_q, jnp.int32).at[0].set(dc_q)
+    zf = jnp.where(dc_q < 148, 84, 80)
+    rnd = (48 * dqv) >> 7
+    zbin = (zf * dqv + 64) >> 7
     scaled = jnp.abs(flat) << shift
-    lv = jnp.sign(flat) * ((scaled + (dqv >> 1)) // dqv)
+    lv = jnp.sign(flat) * ((scaled + rnd) // dqv)
+    lv = jnp.where(scaled < zbin, 0, lv)
     return jnp.clip(lv, -(1 << 15), (1 << 15) - 1).astype(jnp.int32)
 
 

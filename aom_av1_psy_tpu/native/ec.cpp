@@ -1143,3 +1143,96 @@ int ec_enc_pack_kf_part2(Encoder *e, const Pack2Params *params) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Symbol-script executor: the pack as data. Python (which knows the whole
+// frame's final decisions) builds a flat op list mirroring the decoder's
+// parse order; this loop plays it into the range coder. New syntax (inter
+// modes, MVs, deltas) needs no new native code — only new script builders.
+// Ops (5 x int32 per entry):
+//   0: adaptive symbol      a=cdf_id, b=row, c=sym, d=nsyms
+//   1: raw literal          a=value, b=nbits
+//   2: coefficient txb      a=bundle_id | txb_skip_ctx<<8 | dc_sign_ctx<<16
+//                              | mode<<24,  b=levels_index, c=eob, d=unused
+//      (writes txb_skip, optional tx-type, eob prefix, then the coeff loops;
+//       levels buffer = levels_base + levels_index * bundle.n)
+// CDF registry: cdf_ptrs[cdf_id] with cdf_strides[cdf_id] (uint16 rows,
+// adapted in place, same update_cdf as everywhere).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct ScriptBundle {   // per-tx-size coeff tables (mirror of TxBundle)
+  uint16_t *txb_skip, *eob, *eobex, *beob, *base, *br, *dcs;
+  const int32_t *scan, *nzoff;
+  int64_t eob_nsyms, width, bhl, n;   // n = width*width levels per block
+  uint16_t *ext_tx;                   // nullptr when tx type not coded
+  int64_t ext_nsyms, ext_sym, ext_stride;
+};
+
+int ec_enc_run_script(Encoder *e, const int32_t *ops, long n_ops,
+                      uint16_t **cdf_ptrs, const int64_t *cdf_strides,
+                      const ScriptBundle *bundles,
+                      const int32_t *levels_base,
+                      const int32_t *eob_group_start,
+                      const int32_t *eob_offset_bits) {
+  for (long i = 0; i < n_ops; ++i) {
+    const int32_t *o = ops + i * 5;
+    switch (o[0]) {
+      case 0:
+        e->encode_symbol(o[3], cdf_ptrs[o[1]] + o[2] * cdf_strides[o[1]],
+                         o[4]);
+        break;
+      case 1:
+        e->write_literal(static_cast<unsigned>(o[1]), o[2]);
+        break;
+      case 2: {
+        const int bid = o[1] & 0xFF;
+        const int skip_ctx = (o[1] >> 8) & 0xFF;
+        const int dctx = (o[1] >> 16) & 0xFF;
+        const int mode = (o[1] >> 24) & 0x7F;
+        const ScriptBundle &tb = bundles[bid];
+        const int eob = o[3];
+        e->encode_symbol(eob == 0 ? 1 : 0, tb.txb_skip + skip_ctx * 3, 2);
+        if (eob == 0) break;
+        if (tb.ext_tx)
+          e->encode_symbol(static_cast<int>(tb.ext_sym),
+                           tb.ext_tx + mode * tb.ext_stride,
+                           static_cast<int>(tb.ext_nsyms));
+        int eob_pt = 0;
+        while (eob_pt + 1 < 12 && eob_group_start[eob_pt + 1] <= eob)
+          ++eob_pt;
+        const int eob_extra = eob - eob_group_start[eob_pt];
+        e->encode_symbol(eob_pt - 1, tb.eob,
+                         static_cast<int>(tb.eob_nsyms));
+        const int ofs_bits = eob_offset_bits[eob_pt];
+        if (ofs_bits > 0) {
+          e->encode_symbol((eob_extra >> (ofs_bits - 1)) & 1,
+                           tb.eobex + (eob_pt - 3) * 3, 2);
+          for (int k = 1; k < ofs_bits; ++k)
+            e->write_bit((eob_extra >> (ofs_bits - 1 - k)) & 1);
+        }
+        ec_enc_coeffs(e, levels_base + static_cast<long>(o[2]) * tb.n,
+                      static_cast<int>(tb.width), static_cast<int>(tb.width),
+                      static_cast<int>(tb.bhl), eob, tb.scan, 0, tb.nzoff,
+                      tb.beob, 4, tb.base, 5, tb.br, 5, tb.dcs + dctx * 3);
+        break;
+      }
+      case 3: {  // gathered partition bit at a partial frame edge:
+                 // a=cdf_id, b=row, c=sym, d=horz_flag (non-adaptive)
+        uint16_t g[3];
+        gather_partition_cdf(cdf_ptrs[o[1]] + o[2] * cdf_strides[o[1]],
+                             o[4] != 0, g);
+        const int sym = o[3];
+        const unsigned fl = sym > 0 ? g[sym - 1] : 32768;
+        e->encode_q15(fl, g[sym], sym, 2);
+        break;
+      }
+      default:
+        return 1;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
