@@ -234,6 +234,7 @@ _P2_INTS = (
     "eobn_y32", "eobn_y16", "eobn_uv16", "eobn_uv8",
     "txt16_nsyms", "txt16_sym",
     "pctx_a32", "pctx_l32", "pctx_a16", "pctx_l16",
+    "mi_col_off", "mi_cols_frame",
 )
 
 

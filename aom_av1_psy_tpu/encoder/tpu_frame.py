@@ -94,11 +94,22 @@ class TpuFrameEncoder:
         self.use_part = (
             cfg.block_size >= int(BlockSize.BLOCK_16X16)
             and tpu_intra.plan_part_supported(self.mi_rows, self.mi_cols))
+        self.tile_T = 1
         if self.use_part:
             # blocks may overhang the mi area at the frame edge (legal:
             # the decoder clips recon writes); pad source to 32 multiples
             pw32 = (pw + 31) // 32 * 32
             ph32 = (ph + 31) // 32 * 32
+            sb_cols = (self.mi_cols + 15) // 16
+            T = 1 << cfg.tile_cols_log2
+            if T > 1 and sb_cols % T == 0:
+                # SB-aligned equal tile columns: pad width to whole SBs so
+                # every tile slab has the same (shardable) shape
+                self.tile_T = T
+                self.tile_sb = sb_cols // T
+                self.tile_mi = self.tile_sb * 16
+                self.tile_pw = self.tile_sb * 64
+                pw32 = self.tile_pw * T
             self.bs = 16                     # rdmult-grid granularity
             self.R, self.C = ph32 // 16, pw32 // 16
             planes = frame.planes()
@@ -158,6 +169,53 @@ class TpuFrameEncoder:
             out[:, cc:] = out[:, cc - 1 : cc]
         return (rdmult * np.exp(out)).astype(np.float32)
 
+    mesh = None  # optional jax Mesh with tile_T devices: shard the tiles
+
+    def _tile_masks(self, t: int):
+        """(forced, no_split) cell masks for tile t (interior tiles have
+        no column edge; the last tile sees the frame's right edge)."""
+        col0 = t * self.tile_mi
+        Cc = self.tile_pw // 32
+        if col0 + self.tile_mi < self.mi_cols:
+            mi_cols_eff = Cc * 8 + 8      # beyond any cell: no col edge
+        else:
+            mi_cols_eff = self.mi_cols - col0
+        return mi_cols_eff
+
+    def _plan_tiles(self):
+        """Per-tile partition plans over equal SB-aligned slabs; runs the
+        tiles as a loop (single device) or sharded over ``self.mesh``
+        (tile parallelism P1, av1/encoder/ethread.c:1505 analogue)."""
+        T = self.tile_T
+        tpw = self.tile_pw
+        rd = self.rdmult
+        if np.ndim(rd) == 0:
+            rd = np.full((self.R, self.C), float(rd), np.float32)
+        slabs = []
+        for t in range(T):
+            sl = {
+                "y": self.srcp[0][:, t * tpw : (t + 1) * tpw],
+                "rd": rd[:, t * (tpw // 16) : (t + 1) * (tpw // 16)],
+                "mi_cols_eff": self._tile_masks(t),
+            }
+            if self.nplanes > 1:
+                sl["u"] = self.srcp[1][:, t * tpw // 2 : (t + 1) * tpw // 2]
+                sl["v"] = self.srcp[2][:, t * tpw // 2 : (t + 1) * tpw // 2]
+            slabs.append(sl)
+        if self.mesh is not None:
+            from ..parallel.mesh import tile_plans_sharded
+            return tile_plans_sharded(self.mesh, slabs, self.cfg.base_q_idx,
+                                      self.mi_rows)
+        plans = []
+        for sl in slabs:
+            srcp = [sl["y"]] + ([sl["u"], sl["v"]]
+                                if self.nplanes > 1 else [])
+            plans.append(tpu_intra.plan_frame_part(
+                srcp, self.cfg.base_q_idx,
+                FrameContext(self.cfg.base_q_idx), sl["rd"],
+                self.mi_rows, sl["mi_cols_eff"]))
+        return plans
+
     # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
     def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:
         seq = SequenceHeader(
@@ -171,7 +229,11 @@ class TpuFrameEncoder:
                          render_width=self.w, render_height=self.h)
         fh.quant.base_q_idx = self.cfg.base_q_idx
         fh.tx_mode_select = False  # TX_MODE_LARGEST
-        fh.tiles = TileInfo()
+        if self.tile_T > 1:
+            lg = self.tile_T.bit_length() - 1
+            fh.tiles = TileInfo(tile_cols_log2=lg, tile_cols=self.tile_T)
+        else:
+            fh.tiles = TileInfo()
         # keyframe first-guess filter level (av1/encoder/picklpf.c:247)
         q = tables.ac_quant(self.cfg.base_q_idx)
         guess = (q * 17563 - 421574 + (1 << 17)) >> 18
@@ -190,18 +252,41 @@ class TpuFrameEncoder:
 
         import time
         t0 = time.perf_counter()
-        if self.use_part:
+        if self.tile_T > 1:
+            plans = self._plan_tiles()
+            t1 = time.perf_counter()
+            self.plan = plans[0]
+            self.tile_plans = plans
+            datas = []
+            for t, p in enumerate(plans):
+                col0 = t * self.tile_mi
+                vis = min(self.tile_mi, self.mi_cols - col0)
+                datas.append(self._pack2(
+                    p, FrameContext(self.cfg.base_q_idx), fh,
+                    mi_col_off=col0, mi_cols_vis=vis))
+            tile_data = b""
+            nb = fh.tiles.tile_size_bytes
+            for t, d in enumerate(datas):
+                if t < len(datas) - 1:
+                    tile_data += (len(d) - 1).to_bytes(nb, "little")
+                tile_data += d
+            # OBU_FRAME with >1 tile: tile_start_and_end_present = 0 bit
+            bw = BitWriter()
+            bw.f(0, 1)
+            bw.byte_align()
+            tile_data = bw.data() + tile_data
+        elif self.use_part:
             plan = tpu_intra.plan_frame_part(
                 self.srcp, self.cfg.base_q_idx, fc, self.rdmult,
                 self.mi_rows, self.mi_cols)
+            t1 = time.perf_counter()
+            self.plan = plan
+            tile_data = self._pack2(plan, fc, fh)
         else:
             plan = tpu_intra.plan_frame(self.srcp, self.cfg.base_q_idx,
                                         self.bs, fc, self.rdmult)
-        t1 = time.perf_counter()
-        self.plan = plan
-        if self.use_part:
-            tile_data = self._pack2(plan, fc, fh)
-        else:
+            t1 = time.perf_counter()
+            self.plan = plan
             tile_data = self._pack(plan, fc, fh)
         self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
 
@@ -337,10 +422,15 @@ class TpuFrameEncoder:
         return enc.done()
 
     # ------------------------------------------------------------------
-    def _pack2(self, plan: dict, fc: FrameContext, fh: FrameHeader) -> bytes:
+    def _pack2(self, plan: dict, fc: FrameContext, fh: FrameHeader,
+               mi_col_off: int = 0, mi_cols_vis: int | None = None) -> bytes:
         """Two-level partition pack: one native call over the 32/16 tree
-        (native/ec.cpp ec_enc_pack_kf_part2)."""
+        (native/ec.cpp ec_enc_pack_kf_part2). ``mi_col_off``/``mi_cols_vis``
+        select a tile column (visit bound is tile-relative; frame-edge
+        rules use absolute frame bounds)."""
         from ..ec.native_coder import native_pack_kf_part2
+        if mi_cols_vis is None:
+            mi_cols_vis = self.mi_cols
         plan_modes = np.asarray(tpu_intra.PLAN_MODES, np.int32)
         R2, C2 = plan["y_mode16"].shape
         Rc, Cc = R2 // 2, C2 // 2
@@ -379,8 +469,10 @@ class TpuFrameEncoder:
         sp = plan["split32"].astype(bool)
         skip_blk = np.where(np.repeat(np.repeat(sp, 2, 0), 2, 1), skip16,
                             np.repeat(np.repeat(skip32, 2, 0), 2, 1))
-        self.mi_skip = np.repeat(np.repeat(skip_blk.astype(np.int32), 4, 0),
-                                 4, 1)[: self.mi_rows, : self.mi_cols]
+        if mi_col_off == 0 and mi_cols_vis == self.mi_cols:
+            self.mi_skip = np.repeat(
+                np.repeat(skip_blk.astype(np.int32), 4, 0),
+                4, 1)[: self.mi_rows, : self.mi_cols]
 
         arrays = {
             "split32": np.ascontiguousarray(plan["split32"], np.uint8),
@@ -449,7 +541,8 @@ class TpuFrameEncoder:
         bs16 = int(BlockSize.BLOCK_16X16)
         scalars = {
             "R": Rc, "C": Cc,
-            "mi_rows": self.mi_rows, "mi_cols": self.mi_cols,
+            "mi_rows": self.mi_rows, "mi_cols": mi_cols_vis,
+            "mi_col_off": mi_col_off, "mi_cols_frame": self.mi_cols,
             "nplanes": self.nplanes,
             "eobn_y32": 5 + int(TXSIZE_LOG2_MINUS4[tx32]),
             "eobn_y16": 5 + int(TXSIZE_LOG2_MINUS4[tx16]),

@@ -868,6 +868,10 @@ struct Pack2Params {  // mirrored by ctypes in ec/native_coder.py
   int64_t eobn_y32, eobn_y16, eobn_uv16, eobn_uv8;
   int64_t txt16_nsyms, txt16_sym;        // TX_16X16 luma tx-type coding
   int64_t pctx_a32, pctx_l32, pctx_a16, pctx_l16;  // PARTITION_CTX_* values
+  // tile-column support: mi_cols above is the tile-relative VISIT bound;
+  // has_cols / visible-unit clamps use absolute frame bounds
+  int64_t mi_col_off;     // absolute mi col of the tile start
+  int64_t mi_cols_frame;  // frame mi cols
 };
 
 }  // extern "C"
@@ -984,7 +988,8 @@ void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
 
   // rolling neighbour state over the block's mi span
   const int w4 = bs / 4;
-  for (int i = 0; i < w4 && mi_col + i < p.mi_cols; ++i) {
+  for (int i = 0;
+       i < w4 && p.mi_col_off + mi_col + i < p.mi_cols_frame; ++i) {
     st.above_mode[mi_col + i] = static_cast<uint8_t>(ymode);
     st.above_skip[mi_col + i] = static_cast<uint8_t>(skip);
   }
@@ -999,7 +1004,7 @@ void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
   const int cacol = mi_col >> 1, clrow = (mi_row & 15) >> 1;
   // av1_set_entropy_contexts: tx units past the frame (mi) edge stay 0 —
   // overhanging blocks write cul only to the visible units
-  int vis_w = static_cast<int>(p.mi_cols) - mi_col;
+  int vis_w = static_cast<int>(p.mi_cols_frame - p.mi_col_off) - mi_col;
   int vis_h = static_cast<int>(p.mi_rows) - mi_row;
   if (vis_w > wu) vis_w = wu;
   if (vis_h > wu) vis_h = wu;
@@ -1057,7 +1062,7 @@ void pack2_partition(Pack2State &st, const TxBundle &y32, const TxBundle &y16,
   const int mi_w = 2 << bsl;
   const int hbs = mi_w / 2;
   const bool has_rows = mi_row + hbs < p.mi_rows;
-  const bool has_cols = mi_col + hbs < p.mi_cols;
+  const bool has_cols = p.mi_col_off + mi_col + hbs < p.mi_cols_frame;
   int partition;
   if (bsize == 6) {           // BLOCK_16X16 leaf
     partition = PART_NONE;

@@ -73,3 +73,98 @@ def sharded_analyze_step(mesh: Mesh, n: int = 16, qindex: int = 100):
         in_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles")),
         out_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()))
     return jax.jit(fn)
+
+
+def tile_plans_sharded(mesh: Mesh, slabs: list, q: int, mi_rows: int):
+    """Run the fused two-level intra plan for equal tile-column slabs,
+    sharded one tile per device over ``mesh`` (tile parallelism P1 on the
+    PRODUCT path — av1/encoder/ethread.c:1505 av1_encode_tiles_mt
+    analogue). The per-tile computation is the exact integer program of
+    ``tpu_intra.plan_frame_part``, so the resulting bitstream is
+    byte-identical to the single-device tile loop.
+
+    slabs: list of dicts with y/u/v int32 arrays, an rd (2R,2C) lambda
+    grid and mi_cols_eff. Returns a list of per-tile plan dicts."""
+    from ..encoder import tpu_intra as TI
+    from ..ec.context import FrameContext
+    import jax
+
+    T = len(slabs)
+    assert np.prod(mesh.devices.shape) == T, (mesh.devices.shape, T)
+    fc = FrameContext(q)
+    kf_cost, angle_cost, uv_cost = TI._plan_cost_tables(fc)
+    dc_q, ac_q = tables.dc_quant(q), tables.ac_quant(q)
+    pr_none, pr_split = TI._part_rate_scalars(fc)
+    y0 = slabs[0]["y"]
+    R, C = y0.shape[0] // 32, y0.shape[1] // 32
+
+    ys = jnp.stack([jnp.asarray(s["y"]) for s in slabs])
+    us = jnp.stack([jnp.asarray(s["u"]) for s in slabs])
+    vs = jnp.stack([jnp.asarray(s["v"]) for s in slabs])
+    rd16 = jnp.stack([jnp.asarray(s["rd"], jnp.float32) for s in slabs])
+    rd32 = jnp.stack([
+        jnp.asarray(np.exp(np.log(np.asarray(s["rd"], np.float64))
+                           .reshape(R, 2, C, 2).mean((1, 3))), jnp.float32)
+        for s in slabs])
+    forceds, no_splits = [], []
+    for s in slabs:
+        mce = s["mi_cols_eff"]
+        rr = 8 * np.arange(R)[:, None]
+        cc = 8 * np.arange(C)[None, :]
+        forced = ((rr + 4 >= mi_rows) | (cc + 4 >= mce))
+        nos = np.zeros((R, C), bool)
+        for qr in (0, 1):
+            for qc in (0, 1):
+                sr, sc = rr + 4 * qr, cc + 4 * qc
+                visited = (sr < mi_rows) & (sc < mce)
+                partial = visited & ((sr + 2 >= mi_rows) | (sc + 2 >= mce))
+                nos |= partial
+        assert not (forced & nos).any()
+        forceds.append(forced)
+        no_splits.append(nos)
+    forceds = jnp.stack([jnp.asarray(f) for f in forceds])
+    no_splits = jnp.stack([jnp.asarray(x) for x in no_splits])
+    kf_cost = jnp.asarray(kf_cost)
+    angle_cost = jnp.asarray(angle_cost)
+    uv_cost = jnp.asarray(uv_cost)
+
+    def body(y, u, v, rdf, rdc, forced, nos):
+        y, u, v = y[0], u[0], v[0]
+        rdf, rdc = rdf[0], rdc[0]
+        forced, nos = forced[0], nos[0]
+        split, m32, lv32, e32, m16, lv16, e16, yrec = \
+            TI._luma_wavefront_part(
+                y, kf_cost, angle_cost, dc_q, ac_q, rdf, rdc, forced, nos,
+                pr_none, pr_split, TI.RATE_PER_COEFF, TI.RATE_PER_TXB,
+                R=R, C=C)
+        uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec = \
+            TI._chroma_wavefront_part(
+                u, v, uv_cost, angle_cost, dc_q, ac_q, rdf, rdc, split,
+                m32, m16, TI.RATE_PER_COEFF, TI.RATE_PER_TXB, R=R, C=C)
+        outs = (split, m32, lv32, e32, m16, lv16, e16, yrec,
+                uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec)
+        return tuple(o[None] for o in outs)
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P("tiles"),) * 7,
+        out_specs=(P("tiles"),) * 15, check_rep=False))
+    outs = fn(ys, us, vs, rd16, rd32, forceds, no_splits)
+    outs = [np.asarray(o) for o in outs]
+    (split, m32, lv32, e32, m16, lv16, e16, yrec,
+     uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec) = outs
+    plans = []
+    for t in range(T):
+        plans.append({
+            "part": True,
+            "split32": split[t].astype(np.uint8),
+            "y_mode32": m32[t], "y_mode16": m16[t],
+            "y_levels32": lv32[t].astype(np.int32),
+            "y_levels16": lv16[t].astype(np.int32),
+            "y_eob32": e32[t], "y_eob16": e16[t],
+            "uv_mode16": uvm16[t], "uv_mode8": uvm8[t],
+            "uv_levels16": uvlv16[t].astype(np.int32),
+            "uv_levels8": uvlv8[t].astype(np.int32),
+            "uv_eob16": uve16[t], "uv_eob8": uve8[t],
+            "recon_dev": [yrec[t], uvrec[t][0], uvrec[t][1]],
+        })
+    return plans
