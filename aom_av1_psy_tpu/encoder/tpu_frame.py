@@ -258,12 +258,16 @@ class TpuFrameEncoder:
             self.plan = plans[0]
             self.tile_plans = plans
             datas = []
+            tile_fcs = []
             for t, p in enumerate(plans):
                 col0 = t * self.tile_mi
                 vis = min(self.tile_mi, self.mi_cols - col0)
+                tfc = FrameContext(self.cfg.base_q_idx)
                 datas.append(self._pack2(
-                    p, FrameContext(self.cfg.base_q_idx), fh,
-                    mi_col_off=col0, mi_cols_vis=vis))
+                    p, tfc, fh, mi_col_off=col0, mi_cols_vis=vis))
+                tile_fcs.append(tfc)
+            # frame-end context = context_update_tile_id's adapted state
+            fc = tile_fcs[fh.tiles.context_update_tile_id]
             tile_data = b""
             nb = fh.tiles.tile_size_bytes
             for t, d in enumerate(datas):
@@ -289,6 +293,12 @@ class TpuFrameEncoder:
             self.plan = plan
             tile_data = self._pack(plan, fc, fh)
         self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
+        # end-of-frame entropy state (the stream signals frame-end CDF
+        # update): adapted in place by the pack; counter-reset exactly as
+        # the decoder's _update_ref_slots does, so a following INTER frame
+        # can forward it via primary_ref_frame (decodeframe.c semantics)
+        fc.reset_counters()
+        self.saved_fc = fc
 
         td = bytes([0x12, 0x00])
         seq_obu = b""

@@ -72,10 +72,19 @@ class TpuInterFrameEncoder:
     plan + symbol-script pack."""
 
     def __init__(self, frame: Frame, cfg: EncoderConfig, seq, ref_planes_dev,
-                 crop_w: int, crop_h: int, zero_lpf: bool = True):
+                 crop_w: int, crop_h: int, zero_lpf: bool = True,
+                 prev_fc=None):
         if not available():
             raise RuntimeError("TPU path requires the native EC library")
         _warm_transfer()
+        # CDF forwarding: when the previous frame's end-of-frame entropy
+        # state is supplied, code this frame against it (primary_ref_frame=0
+        # + frame-end update) instead of resetting to defaults — backward
+        # adaptation per av1/common/entropymode.h:71 / setup semantics of
+        # decodeframe.c. ``prev_fc`` must already have its adaptation
+        # counters reset (av1_reset_cdf_symbol_counters), as the decoder
+        # does when saving a frame context.
+        self.prev_fc = prev_fc
         # the plan recon (pre-LPF) is the next frame's reference; until the
         # loop filter runs on device, in-loop filtering must be off or the
         # encoder would drift from the decoder's post-LPF references
@@ -127,7 +136,10 @@ class TpuInterFrameEncoder:
         fh.show_frame = True
         fh.showable_frame = True
         fh.error_resilient_mode = False
-        fh.primary_ref_frame = 7          # PRIMARY_REF_NONE (CDF reset)
+        if self.prev_fc is not None:
+            fh.primary_ref_frame = 0      # inherit LAST's saved CDFs
+        else:
+            fh.primary_ref_frame = 7      # PRIMARY_REF_NONE (CDF reset)
         fh.refresh_frame_flags = 0xFF
         fh.ref_frame_idx = [0] * 7
         fh.allow_high_precision_mv = False
@@ -136,7 +148,7 @@ class TpuInterFrameEncoder:
         fh.is_motion_mode_switchable = False
         fh.reference_select = False
         fh.allow_warped_motion = False
-        fh.disable_frame_end_update_cdf = True
+        fh.disable_frame_end_update_cdf = False
         fh.quant.base_q_idx = self.cfg.base_q_idx
         fh.tx_mode_select = False
         fh.tiles = TileInfo()
@@ -158,7 +170,10 @@ class TpuInterFrameEncoder:
         import time
         seq, fh = self.make_headers()
         self.seq, self.fh = seq, fh
-        fc = FrameContext(self.cfg.base_q_idx)
+        if self.prev_fc is not None:
+            fc = self.prev_fc.copy()
+        else:
+            fc = FrameContext(self.cfg.base_q_idx)
         self.fc = fc
         t0 = time.perf_counter()
         plan = tpu_inter.plan_inter_frame(
@@ -168,6 +183,11 @@ class TpuInterFrameEncoder:
         t1 = time.perf_counter()
         self.plan = plan
         tile_data = self._pack_script(plan, fc, fh)
+        # end-of-frame context save (decoder/obu.py:_update_ref_slots):
+        # the script adapted fc's tables in place; reset the per-row
+        # adaptation counters exactly as the decoder does before storing
+        fc.reset_counters()
+        self.saved_fc = fc
         self.timings = {"plan_s": t1 - t0,
                         "pack_s": time.perf_counter() - t1}
         w = BitWriter()
@@ -563,15 +583,19 @@ class TpuInterFrameEncoder:
 
 
 def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
-                     key_interval: int = 0):
+                     key_interval: int = 0, forward_cdf: bool = True):
     """Fused-path GOP driver: TPU KEY frame + TPU inter frames on a LAST
-    recon chain (IPPP). Returns (packets, encs)."""
+    recon chain (IPPP). With ``forward_cdf`` (default), every inter frame
+    inherits the previous frame's end-of-frame entropy state via
+    primary_ref_frame instead of resetting to defaults (backward
+    adaptation, av1/common/entropymode.h:71). Returns (packets, encs)."""
     from .tpu_frame import TpuFrameEncoder
     from ..bitstream.containers import write_ivf
     packets = []
     encs = []
     ref_dev = None
     seq = None
+    prev_fc = None
     for i, frame in enumerate(frames):
         is_key = i == 0 or (key_interval > 0 and i % key_interval == 0)
         if is_key:
@@ -593,10 +617,133 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
             seq = enc.seq
         else:
             enc = TpuInterFrameEncoder(frame, cfg, seq, ref_dev,
-                                       frames[0].width, frames[0].height)
+                                       frames[0].width, frames[0].height,
+                                       prev_fc=prev_fc)
             packets.append(enc.encode())
         encs.append(enc)
         ref_dev = enc.plan["recon_dev"]
+        prev_fc = enc.saved_fc if forward_cdf else None
     if path is not None:
         write_ivf(path, packets, frames[0].width, frames[0].height)
     return packets, encs
+
+
+# ----------------------------------------------------------------------
+# Rate control v1 — one-pass VBR-lite (CQ/VBR subset of
+# av1/encoder/ratectrl.c: av1_rc_regulate_q / update-after-encode model).
+# ----------------------------------------------------------------------
+def _qindex_for_qstep(qstep: float, bd: int = 8) -> int:
+    """Smallest qindex whose AC quant step is >= qstep (bisection over the
+    monotone ac_quant table — av1_rc_bits_per_mb's inverse role)."""
+    lo, hi = 1, 255
+    if qstep <= tables.ac_quant(1):
+        return 1
+    if qstep >= tables.ac_quant(255):
+        return 255
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if tables.ac_quant(mid) < qstep:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def encode_video_tpu_rc(frames, target_bps: float, fps: float = 30.0,
+                        key_interval: int = 0, start_q: int = 120,
+                        min_q: int = 8, max_q: int = 250,
+                        max_step: int = 32, path: str | None = None):
+    """One-pass target-bitrate GOP encode on the fused TPU path.
+
+    A local power-law rate model ``bits ~ c * qstep**-beta`` (the family
+    behind av1_rc_bits_per_mb, av1/encoder/ratectrl.c:1741) is fitted
+    online per frame type from coded sizes: the elasticity ``beta`` comes
+    from a secant through the last two (log qstep, log bits) observations,
+    which automatically absorbs the constant header/overhead floor that a
+    fixed-exponent model mistakes for rate at low bitrates. The next
+    frame's qindex is the one whose AC step meets its share of the
+    remaining budget; per-frame q moves are clamped to ``max_step``
+    (the reference's regulate-q damping role). CDF forwarding stays on —
+    contexts are q-independent once inherited (decodeframe.c primary-ref
+    semantics).
+
+    Returns (packets, encs, qs).
+    """
+    from .tpu_frame import TpuFrameEncoder
+    from ..bitstream.containers import write_ivf
+    n = len(frames)
+    budget = target_bps * n / fps
+    spent = 0.0
+    obs = {}              # frame-type -> last two (log qstep, log bits)
+    packets, encs, qs = [], [], []
+
+    def _want_q(ftype, tgt, cur_q):
+        pts = obs.get(ftype)
+        if not pts:
+            return None
+        lq1, lb1 = pts[-1]
+        beta = 1.2
+        if len(pts) == 2 and abs(pts[0][0] - lq1) > 1e-3:
+            beta = (pts[0][1] - lb1) / (lq1 - pts[0][0])
+            beta = float(np.clip(beta, 0.4, 3.0))
+        lqw = lq1 + (lb1 - np.log(tgt)) / beta
+        return _qindex_for_qstep(float(np.exp(lqw)))
+    ref_dev = None
+    seq = None
+    prev_fc = None
+    q = int(np.clip(start_q, min_q, max_q))
+    # KEY frames are budgeted at kf_boost x the per-frame average
+    # (gop-level allocation, av1/encoder/pass2_strategy.c's kf share)
+    kf_boost = 4.0
+    n_key = 1 + (0 if key_interval <= 0 else (n - 1) // key_interval)
+    w_total = kf_boost * n_key + (n - n_key)
+    for i, frame in enumerate(frames):
+        is_key = i == 0 or (key_interval > 0 and i % key_interval == 0)
+        ftype = "key" if is_key else "inter"
+        weight = kf_boost if is_key else 1.0
+        frames_left_w = sum(
+            (kf_boost if (j == 0 or (key_interval > 0
+                                     and j % key_interval == 0)) else 1.0)
+            for j in range(i, n))
+        tgt = max(64.0, (budget - spent) * weight / frames_left_w)
+        # no same-type observation yet -> hold q (cross-type
+        # extrapolation misjudges the intra/inter rate ratio and
+        # overspends the start of the clip)
+        want = _want_q(ftype, tgt, q)
+        if want is None:
+            want = q
+        step = int(np.clip(want - q, -max_step, max_step))
+        q = int(np.clip(q + step, min_q, max_q))
+        cfg_i = EncoderConfig(base_q_idx=q)
+        if is_key:
+            enc = TpuFrameEncoder(frame, cfg_i)
+            if n > 1:
+                orig = enc.make_headers
+
+                def _nolpf(_orig=orig):
+                    seq_, fh_ = _orig()
+                    fh_.lf.filter_level = (0, 0)
+                    fh_.lf.filter_level_u = 0
+                    fh_.lf.filter_level_v = 0
+                    return seq_, fh_
+
+                enc.make_headers = _nolpf
+            pkt = enc.encode(include_seq=(i == 0))
+            seq = enc.seq
+        else:
+            enc = TpuInterFrameEncoder(frame, cfg_i, seq, ref_dev,
+                                       frames[0].width, frames[0].height,
+                                       prev_fc=prev_fc)
+            pkt = enc.encode()
+        bits = len(pkt) * 8
+        spent += bits
+        pt = (float(np.log(tables.ac_quant(q))), float(np.log(max(bits, 1))))
+        obs[ftype] = (obs.get(ftype, []) + [pt])[-2:]
+        packets.append(pkt)
+        encs.append(enc)
+        qs.append(q)
+        ref_dev = enc.plan["recon_dev"]
+        prev_fc = enc.saved_fc
+    if path is not None:
+        write_ivf(path, packets, frames[0].width, frames[0].height)
+    return packets, encs, qs

@@ -98,3 +98,71 @@ def test_tpu_inter_mid_gop_key(tmp_path):
     ours = np.concatenate([np.concatenate([f.y.ravel(), f.u.ravel(),
                                            f.v.ravel()]) for f in dec])
     assert np.array_equal(ref, ours)
+
+
+def test_cdf_forwarding_bits_win():
+    """Backward CDF adaptation (primary_ref_frame forwarding) must cost
+    fewer bits than per-frame reset and stay closed-loop exact
+    (av1/common/entropymode.h:71 semantics)."""
+    frames = panning(160, 112, 5, seed=11)
+    cfg = EncoderConfig(base_q_idx=100)
+    pk_fwd, encs = encode_video_tpu(frames, cfg, forward_cdf=True)
+    pk_rst, _ = encode_video_tpu(frames, cfg, forward_cdf=False)
+    assert sum(map(len, pk_fwd)) < sum(map(len, pk_rst))
+    # forwarded streams signal the primary ref
+    assert encs[2].fh.primary_ref_frame == 0
+    assert not encs[2].fh.disable_frame_end_update_cdf
+    dec = _decode_all(pk_fwd)
+    for i, f in enumerate(dec):
+        rec = [np.asarray(r) for r in encs[i].plan["recon_dev"]]
+        for pi, d_ in enumerate((f.y, f.u, f.v)):
+            d_ = d_.astype(np.int32)
+            np.testing.assert_array_equal(
+                d_, rec[pi][: d_.shape[0], : d_.shape[1]],
+                err_msg=f"frame {i} plane {pi}")
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+def test_cdf_forwarding_aomdec_bitexact(tmp_path):
+    w, h = 112, 80
+    frames = panning(w, h, 5, seed=13)
+    packets, _ = encode_video_tpu(frames, EncoderConfig(base_q_idx=110),
+                                  forward_cdf=True)
+    path = str(tmp_path / "fwd.ivf")
+    raw = str(tmp_path / "fwd.yuv")
+    write_ivf(path, packets, w, h)
+    r = subprocess.run([AOMDEC, "--rawvideo", "-o", raw, path],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref = np.fromfile(raw, np.uint8)
+    dec = _decode_all(packets)
+    ours = np.concatenate([np.concatenate([f.y.ravel(), f.u.ravel(),
+                                           f.v.ravel()]) for f in dec])
+    assert np.array_equal(ref, ours)
+
+
+def test_rate_control_hits_target():
+    """One-pass VBR-lite lands within 12% of an achievable target and the
+    stream stays closed-loop exact (ratectrl.c regulate-q analogue)."""
+    from aom_av1_psy_tpu.encoder.tpu_interframe import encode_video_tpu_rc
+    rng = np.random.default_rng(7)
+    # structured moving content (smooth rate response, no all-skip cliff)
+    frames = []
+    w, h, n = 176, 144, 8
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(n):
+        y = (110 + 45 * np.sin((xx + 3 * i) / 37.0) * np.cos(yy / 29.0)
+             + 30 * (((xx // 24) + (yy // 24) + i) % 2)).clip(0, 255)
+        bx, by = 20 + 5 * i, 30 + 3 * i
+        y[by : by + 40, bx : bx + 40] = 210 - 4 * i
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 135, np.uint8)
+        frames.append(Frame(y.astype(np.uint8), u, v))
+    target_bps = 400_000
+    pk, encs, qs = encode_video_tpu_rc(frames, target_bps, fps=30)
+    achieved = sum(len(p) * 8 for p in pk) * 30 / n
+    assert abs(achieved / target_bps - 1) < 0.12, (achieved, qs)
+    dec = _decode_all(pk)
+    assert len(dec) == n
+    # q must actually adapt (not stay pinned at start_q)
+    assert len(set(qs)) > 1, qs
