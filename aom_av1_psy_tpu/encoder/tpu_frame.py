@@ -218,16 +218,20 @@ class TpuFrameEncoder:
 
     # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
     def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:
+        use_cdef = bool(self.cfg.search_cdef and self.tile_T == 1)
         seq = SequenceHeader(
             max_frame_width=self.w, max_frame_height=self.h,
             frame_width_bits=max(self.w - 1, 1).bit_length(),
             frame_height_bits=max(self.h - 1, 1).bit_length(),
             enable_filter_intra=False, enable_intra_edge_filter=True,
-            enable_cdef=False, enable_restoration=False,
+            enable_cdef=use_cdef, enable_restoration=False,
             monochrome=self.nplanes == 1)
         fh = FrameHeader(width=self.w, height=self.h,
                          render_width=self.w, render_height=self.h)
         fh.quant.base_q_idx = self.cfg.base_q_idx
+        if use_cdef:
+            # damping derivation: av1/encoder/pickcdef.c:745
+            fh.cdef.damping = 3 + (self.cfg.base_q_idx >> 6)
         fh.tx_mode_select = False  # TX_MODE_LARGEST
         if self.tile_T > 1:
             lg = self.tile_T.bit_length() - 1
@@ -293,6 +297,11 @@ class TpuFrameEncoder:
             self.plan = plan
             tile_data = self._pack(plan, fc, fh)
         self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
+        if seq.enable_cdef:
+            # pick frame-level CDEF strengths on the post-LPF recon; header
+            # bits only (cdef_bits=0 -> no symbol-stream change), so this
+            # runs after the pack and before the header write
+            self._search_cdef_fused(fh)
         # end-of-frame entropy state (the stream signals frame-end CDF
         # update): adapted in place by the pack; counter-reset exactly as
         # the decoder's _update_ref_slots does, so a following INTER frame
@@ -315,6 +324,62 @@ class TpuFrameEncoder:
         frame_obu = bytes([0x32]) + write_leb128(len(frame_payload)) \
             + frame_payload
         return td + seq_obu + frame_obu
+
+    # ------------------------------------------------------------------
+    def _cdef_grids(self):
+        """Per-mi (tx_size_y, bsize, tx_size_uv) grids from the plan, for
+        the deblocker (av1_loopfilter.c set_lpf_parameters inputs)."""
+        if self.use_part:
+            sp = np.repeat(np.repeat(self.plan["split32"].astype(bool),
+                                     2, 0), 2, 1)          # per-16px cell
+            ytx = np.where(sp, int(TxSize.TX_16X16), int(TxSize.TX_32X32))
+            uvtx = np.where(sp, int(TxSize.TX_8X8), int(TxSize.TX_16X16))
+            bsz = np.where(sp, int(BlockSize.BLOCK_16X16),
+                           int(BlockSize.BLOCK_32X32))
+            f = 4
+        else:
+            R, C = self.R, self.C
+            ytx = np.full((R, C), _BS_TO_TX[self.bs], np.int32)
+            uvtx = np.full((R, C), _BS_TO_TX.get(self.bs // 2,
+                                                 int(TxSize.TX_4X4)),
+                           np.int32)
+            bsz = np.full((R, C), _BS_TO_BSIZE[self.bs], np.int32)
+            f = self.bs // 4
+
+        def up(a):
+            return np.repeat(np.repeat(a, f, 0), f,
+                             1)[: self.mi_rows, : self.mi_cols]
+
+        return up(ytx), up(bsz), up(uvtx)
+
+    def _search_cdef_fused(self, fh: FrameHeader) -> None:
+        """Frame-level CDEF strength pick on the deblocked recon
+        (av1/encoder/pickcdef.c role; search in ops/cdef.py, vectorized
+        over every non-skip 8x8 unit of the frame at once)."""
+        from ..ops import deblock, cdef as cdef_ops
+        mi_tx, mi_bsz, mi_uv = self._cdef_grids()
+        mh, mw = self.mi_rows * 4, self.mi_cols * 4
+        recs = [np.asarray(r) for r in self.plan["recon_dev"]]
+        planes = [np.array(recs[0][:mh, :mw], np.int32)]
+        if self.nplanes > 1:
+            planes += [np.array(recs[i][: mh // 2, : mw // 2], np.int32)
+                       for i in (1, 2)]
+        info = deblock.DeblockInfo(mi_tx, mi_bsz, self.mi_skip,
+                                   np.zeros_like(self.mi_skip),
+                                   self.mi_rows, self.mi_cols)
+        for p in range(self.nplanes):
+            deblock.loop_filter_plane(planes[p], p, info, fh, self.seq,
+                                      uv_tx_grid=mi_uv)
+        src = [self.srcp[0][:mh, :mw]]
+        if self.nplanes > 1:
+            src += [self.srcp[i][: mh // 2, : mw // 2] for i in (1, 2)]
+        yp, ys, up_, us = cdef_ops.search_strengths(
+            planes, src, self.mi_skip, self.mi_rows, self.mi_cols,
+            fh.cdef.damping)
+        c = fh.cdef
+        c.bits = 0
+        c.y_pri, c.y_sec = [yp], [min(ys, 3)]
+        c.uv_pri, c.uv_sec = [up_], [min(us, 3)]
 
     # ------------------------------------------------------------------
     def _pack(self, plan: dict, fc: FrameContext, fh: FrameHeader) -> bytes:

@@ -610,6 +610,7 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
                     fh_.lf.filter_level = (0, 0)
                     fh_.lf.filter_level_u = 0
                     fh_.lf.filter_level_v = 0
+                    seq_.enable_cdef = False   # ref recon must stay pre-CDEF
                     return seq_, fh_
 
                 enc.make_headers = _nolpf
@@ -725,6 +726,7 @@ def encode_video_tpu_rc(frames, target_bps: float, fps: float = 30.0,
                     fh_.lf.filter_level = (0, 0)
                     fh_.lf.filter_level_u = 0
                     fh_.lf.filter_level_v = 0
+                    seq_.enable_cdef = False   # ref recon must stay pre-CDEF
                     return seq_, fh_
 
                 enc.make_headers = _nolpf

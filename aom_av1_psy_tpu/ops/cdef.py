@@ -242,3 +242,85 @@ def _adjust_strength(strength: int, var: int) -> int:
         return 0
     i = min(int(var >> 6).bit_length() - 1, 12) if (var >> 6) else 0
     return (strength * (4 + i) + 8) >> 4
+
+
+def _adjust_strength_v(strength: int, var: np.ndarray) -> np.ndarray:
+    """Vectorized _adjust_strength over a (N,) var array."""
+    v6 = (var >> 6).astype(np.float64)
+    _, e = np.frexp(np.maximum(v6, 1.0))
+    i = np.minimum(e - 1, 12).astype(np.int64)
+    i = np.where(v6 > 0, i, 0)
+    t = (strength * (4 + i) + 8) >> 4
+    return np.where(var != 0, t, 0).astype(np.int32)
+
+
+def _unit_stack(plane: np.ndarray, bl: np.ndarray, ub: int) -> np.ndarray:
+    """(N, ub+4, ub+4) CDEF contexts for the ``ub``-sized units listed in
+    ``bl`` (unit coords), with CDEF_VERY_LARGE outside the plane area."""
+    h, w = plane.shape
+    pad = np.full((h + 4, w + 4), CDEF_VERY_LARGE, np.int32)
+    pad[2 : 2 + h, 2 : 2 + w] = plane
+    win = np.lib.stride_tricks.sliding_window_view(pad, (ub + 4, ub + 4))
+    return np.ascontiguousarray(win[bl[:, 0] * ub, bl[:, 1] * ub])
+
+
+def search_strengths(planes, srcp, mi_skip, mi_rows, mi_cols, damping,
+                     pri_cands=(0, 1, 2, 3, 4, 6, 9, 12, 15),
+                     sec_cands=(0, 1, 2, 4)):
+    """Frame-level (cdef_bits=0) strength search, whole frame at once.
+
+    The reference searches per-64x64 fb with SIMD MSE accumulation
+    (av1/encoder/pickcdef.c); here every non-skip 8x8 unit of the frame is
+    one row of a single block stack, directions are computed once, and each
+    (pri, sec) candidate is one vectorized ``filter_blocks`` call — the
+    TPU-era expression of the same brute force.  ``planes`` is the
+    post-deblock recon (mi-aligned int32), ``srcp`` the source planes.
+    Returns applied strengths (y_pri, y_sec, uv_pri, uv_sec); the caller
+    codes sec as min(sec, 3) per the spec's 4->3 mapping.
+    """
+    nplanes = len(planes)
+    nvb, nhb = mi_rows // 2, mi_cols // 2
+    sk = mi_skip[: nvb * 2, : nhb * 2].reshape(nvb, 2, nhb, 2)
+    nonskip = ~sk.all(axis=(1, 3)).astype(bool)
+    bl = np.argwhere(nonskip).astype(np.int32)
+    if bl.size == 0:
+        return 0, 0, 0, 0
+
+    mh, mw = mi_rows * 4, mi_cols * 4
+    y = np.ascontiguousarray(planes[0][:mh, :mw], np.int32)
+    ctx_y = _unit_stack(y, bl, 8)
+    dirs, var = find_dir_blocks(ctx_y[:, 2:10, 2:10])
+    src_y = srcp[0][:mh, :mw].reshape(nvb, 8, nhb, 8).transpose(0, 2, 1, 3)
+    src_y = src_y[bl[:, 0], bl[:, 1]].astype(np.int64)
+
+    def sweep(ctx_list, src_list, dmp, adjust):
+        best = None
+        for pri in pri_cands:
+            if adjust:
+                pri_t = _adjust_strength_v(pri, var)
+            else:
+                pri_t = np.full(len(bl), pri, np.int32)
+            use_dirs = dirs if pri else np.zeros_like(dirs)
+            for sec in sec_cands:
+                e = 0
+                for ctx, src in zip(ctx_list, src_list):
+                    ub = ctx.shape[1] - 4
+                    out = filter_blocks(ctx, use_dirs, pri_t, sec, dmp,
+                                        dmp, 0, ub, ub)
+                    e += int(((out.astype(np.int64) - src) ** 2).sum())
+                if best is None or e < best[0]:
+                    best = (e, pri, sec)
+        return best[1], best[2]
+
+    y_pri, y_sec = sweep([ctx_y], [src_y], damping, adjust=True)
+    uv_pri = uv_sec = 0
+    if nplanes > 1:
+        ch, cw = mh // 2, mw // 2
+        ctx_uv, src_uv = [], []
+        for p in (1, 2):
+            cp = np.ascontiguousarray(planes[p][:ch, :cw], np.int32)
+            ctx_uv.append(_unit_stack(cp, bl, 4))
+            s = srcp[p][:ch, :cw].reshape(nvb, 4, nhb, 4).transpose(0, 2, 1, 3)
+            src_uv.append(s[bl[:, 0], bl[:, 1]].astype(np.int64))
+        uv_pri, uv_sec = sweep(ctx_uv, src_uv, damping - 1, adjust=False)
+    return y_pri, y_sec, uv_pri, uv_sec

@@ -146,3 +146,45 @@ def test_plan_recon_is_decode_recon():
         d_ = d_.astype(np.int32)
         np.testing.assert_array_equal(d_, p_[: d_.shape[0], : d_.shape[1]],
                                       err_msg=name)
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+def test_tpu_cdef_search_conforming(tmp_path):
+    """search_cdef on the fused path: frame-level strength pick
+    (av1/encoder/pickcdef.c role) signaled with cdef_bits=0 — the stream
+    must stay bit-exact through aomdec vs our decoder, pick a nonzero
+    strength on a noisy clip at high q, and not lose PSNR vs CDEF-off."""
+    rng = np.random.default_rng(11)
+    w, h = 176, 144
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (110 + 50 * np.sin(xx / 17) * np.cos(yy / 13)
+         + rng.normal(0, 14, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + rng.normal(0, 8, (h // 2, w // 2))).clip(0, 255) \
+        .astype(np.uint8)
+    v = (120 + rng.normal(0, 8, (h // 2, w // 2))).clip(0, 255) \
+        .astype(np.uint8)
+    f = Frame(y, u, v)
+
+    def roundtrip(cdef):
+        enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=200,
+                                               search_cdef=cdef))
+        data = enc.encode()
+        path = str(tmp_path / f"c{cdef}.ivf")
+        raw = str(tmp_path / f"c{cdef}.yuv")
+        write_ivf(path, [data], w, h)
+        r = subprocess.run([AOMDEC, "--rawvideo", "-o", raw, path],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        ref = np.fromfile(raw, np.uint8)
+        dec = decode_ivf(path)
+        ours = np.concatenate([dec[0].y.ravel(), dec[0].u.ravel(),
+                               dec[0].v.ravel()])
+        assert np.array_equal(ref, ours)
+        mse = ((dec[0].y.astype(float) - y.astype(float)) ** 2).mean()
+        return enc, 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+    enc_off, psnr_off = roundtrip(False)
+    enc_on, psnr_on = roundtrip(True)
+    c = enc_on.fh.cdef
+    assert c.y_pri[0] > 0 or c.y_sec[0] > 0, "no strength picked"
+    assert psnr_on >= psnr_off - 1e-9, (psnr_on, psnr_off)

@@ -206,6 +206,7 @@ def main():
     from aom_av1_psy_tpu.encoder.frame import EncoderConfig, FrameEncoder
     from aom_av1_psy_tpu.encoder.tpu_frame import TpuFrameEncoder
     from aom_av1_psy_tpu.encoder.interframe import encode_video
+    from aom_av1_psy_tpu.encoder.tpu_interframe import encode_video_tpu
 
     # q ladders: aomenc cq-level (0..63) vs our base_q_idx (0..255);
     # aligned roughly via qindex = 4*cq
@@ -247,10 +248,17 @@ def main():
             return pkts
         return mk
 
+    def inter_tpu_packets(q):
+        def mk(frames):
+            pkts, _ = encode_video_tpu(frames, EncoderConfig(base_q_idx=q))
+            return pkts
+        return mk
+
     all_bd = {}
     for mode, clips, ours in (
             ("intra_tpu", intra_clips, tpu_intra_packets),
             ("intra_host", intra_clips, host_intra_packets),
+            ("inter_tpu", inter_clips, inter_tpu_packets),
             ("inter_ippp", inter_clips, inter_packets)):
         for name, frames in clips.items():
             key = f"{mode}/{name}"
@@ -276,7 +284,7 @@ def main():
             print(f"{key}: BD-rate {bd if bd is None else round(bd, 1)}% "
                   f"(anchor {anchor}, ours {pts})", flush=True)
 
-    for mode in ("intra_tpu", "intra_host", "inter_ippp"):
+    for mode in ("intra_tpu", "intra_host", "inter_tpu", "inter_ippp"):
         vals = [v for k, v in all_bd.items()
                 if k.startswith(mode) and v is not None]
         results["bd_rate_vs_aomenc"][mode] = (
