@@ -353,26 +353,62 @@ class TpuFrameEncoder:
         return up(ytx), up(bsz), up(uvtx)
 
     def _search_cdef_fused(self, fh: FrameHeader) -> None:
-        """Frame-level CDEF strength pick on the deblocked recon
-        (av1/encoder/pickcdef.c role; search in ops/cdef.py, vectorized
-        over every non-skip 8x8 unit of the frame at once)."""
+        """In-loop filter pick on the plan recon: picklpf-style filter
+        level search (when cfg.search_lpf) followed by the frame-level
+        CDEF strength pick (av1/encoder/pickcdef.c role; search in
+        ops/cdef.py, vectorized over every non-skip 8x8 unit at once)."""
         from ..ops import deblock, cdef as cdef_ops
         mi_tx, mi_bsz, mi_uv = self._cdef_grids()
         mh, mw = self.mi_rows * 4, self.mi_cols * 4
         recs = [np.asarray(r) for r in self.plan["recon_dev"]]
-        planes = [np.array(recs[0][:mh, :mw], np.int32)]
+        pre = [np.array(recs[0][:mh, :mw], np.int32)]
         if self.nplanes > 1:
-            planes += [np.array(recs[i][: mh // 2, : mw // 2], np.int32)
-                       for i in (1, 2)]
-        info = deblock.DeblockInfo(mi_tx, mi_bsz, self.mi_skip,
-                                   np.zeros_like(self.mi_skip),
-                                   self.mi_rows, self.mi_cols)
-        for p in range(self.nplanes):
-            deblock.loop_filter_plane(planes[p], p, info, fh, self.seq,
-                                      uv_tx_grid=mi_uv)
+            pre += [np.array(recs[i][: mh // 2, : mw // 2], np.int32)
+                    for i in (1, 2)]
         src = [self.srcp[0][:mh, :mw]]
         if self.nplanes > 1:
             src += [self.srcp[i][: mh // 2, : mw // 2] for i in (1, 2)]
+        info = deblock.DeblockInfo(mi_tx, mi_bsz, self.mi_skip,
+                                   np.zeros_like(self.mi_skip),
+                                   self.mi_rows, self.mi_cols)
+
+        def _mse(p, buf):
+            d = buf.astype(np.int64) - src[p]
+            return int((d * d).sum())
+
+        if self.cfg.search_lpf:
+            # brute-force a small ladder around the q-derived first guess
+            # (av1_pick_filter_level, av1/encoder/picklpf.c:247 analogue)
+            lf = fh.lf
+            guess = lf.filter_level[0]
+            cands = sorted({0, guess // 2, max(guess - 2, 0), guess,
+                            min(guess + 2, 63), min(guess * 2, 63)})
+
+            def eval_plane(p, setter):
+                best = None
+                for lvl in cands:
+                    setter(lvl)
+                    buf = pre[p].copy()
+                    deblock.loop_filter_plane(buf, p, info, fh, self.seq,
+                                              uv_tx_grid=mi_uv)
+                    e = _mse(p, buf)
+                    if best is None or e < best[0]:
+                        best = (e, lvl)
+                setter(best[1])
+
+            eval_plane(0, lambda v: setattr(lf, "filter_level", (v, v)))
+            if self.nplanes > 1:
+                if lf.filter_level == (0, 0):
+                    # chroma levels only codable with a nonzero luma level
+                    lf.filter_level_u = lf.filter_level_v = 0
+                else:
+                    eval_plane(1, lambda v: setattr(lf, "filter_level_u", v))
+                    eval_plane(2, lambda v: setattr(lf, "filter_level_v", v))
+
+        planes = [p.copy() for p in pre]
+        for p in range(self.nplanes):
+            deblock.loop_filter_plane(planes[p], p, info, fh, self.seq,
+                                      uv_tx_grid=mi_uv)
         yp, ys, up_, us = cdef_ops.search_strengths(
             planes, src, self.mi_skip, self.mi_rows, self.mi_cols,
             fh.cdef.damping)

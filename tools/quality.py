@@ -201,7 +201,16 @@ def main():
     ap.add_argument("--out", default="QUALITY_r04.json")
     ap.add_argument("--quick", action="store_true",
                     help="fewer q points / smaller clips")
+    ap.add_argument("--device", default="cpu", choices=("cpu", "tpu"),
+                    help="rate/PSNR are device-independent (bit-exact "
+                    "integer paths); cpu avoids the axon compile-latency "
+                    "lottery (PERF_NOTES.md), so it is the default")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        # a site hook may hard-pin JAX_PLATFORMS=axon; config wins
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from aom_av1_psy_tpu.encoder.frame import EncoderConfig, FrameEncoder
     from aom_av1_psy_tpu.encoder.tpu_frame import TpuFrameEncoder
@@ -233,6 +242,12 @@ def main():
                     for f in frames]
         return mk
 
+    def tpu_intra_cdef_packets(q):
+        def mk(frames):
+            return [TpuFrameEncoder(f, EncoderConfig(
+                base_q_idx=q, search_cdef=True)).encode() for f in frames]
+        return mk
+
     def host_intra_packets(q):
         def mk(frames):
             out = []
@@ -257,6 +272,7 @@ def main():
     all_bd = {}
     for mode, clips, ours in (
             ("intra_tpu", intra_clips, tpu_intra_packets),
+            ("intra_tpu_cdef", intra_clips, tpu_intra_cdef_packets),
             ("intra_host", intra_clips, host_intra_packets),
             ("inter_tpu", inter_clips, inter_tpu_packets),
             ("inter_ippp", inter_clips, inter_packets)):
@@ -284,9 +300,10 @@ def main():
             print(f"{key}: BD-rate {bd if bd is None else round(bd, 1)}% "
                   f"(anchor {anchor}, ours {pts})", flush=True)
 
-    for mode in ("intra_tpu", "intra_host", "inter_tpu", "inter_ippp"):
+    for mode in ("intra_tpu", "intra_tpu_cdef", "intra_host", "inter_tpu",
+                 "inter_ippp"):
         vals = [v for k, v in all_bd.items()
-                if k.startswith(mode) and v is not None]
+                if k.split("/")[0] == mode and v is not None]
         results["bd_rate_vs_aomenc"][mode] = (
             round(float(np.mean(vals)), 1) if vals else None)
 
