@@ -96,11 +96,15 @@ def write_ivf(path: str, packets: list[bytes], width: int, height: int,
 def read_ivf(path: str) -> Iterator[bytes]:
     with open(path, "rb") as f:
         hdr = f.read(32)
-        if hdr[:4] != b"DKIF":
+        if len(hdr) < 32 or hdr[:4] != b"DKIF":
             raise ValueError("not an IVF file")
         while True:
             fh = f.read(12)
             if len(fh) < 12:
                 return
             sz, _pts = struct.unpack("<IQ", fh)
-            yield f.read(sz)
+            pkt = f.read(sz)
+            if len(pkt) < sz:
+                raise ValueError(
+                    f"IVF frame truncated ({len(pkt)}/{sz} bytes)")
+            yield pkt

@@ -55,7 +55,31 @@ class Av1Decoder:
         return s["lf_deltas"] if s else None
 
     def decode_packet(self, data: bytes) -> list:
-        """Decode one temporal unit (e.g. an IVF packet). Returns frames."""
+        """Decode one temporal unit (e.g. an IVF packet). Returns frames.
+
+        Error contract (aom/internal/aom_codec_internal.h:368 /
+        test/invalid_file_test.cc analogue): malformed input raises
+        ``Av1CorruptFrameError``; legal-but-unimplemented syntax raises
+        ``Av1UnsupportedBitstreamError``; no other exception escapes."""
+        from ..errors import (Av1Error, Av1CorruptFrameError,
+                              Av1UnsupportedBitstreamError)
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            from ..errors import Av1InvalidParamError
+            raise Av1InvalidParamError("packet must be bytes")
+        try:
+            return self._decode_packet(bytes(data))
+        except Av1Error:
+            raise
+        except NotImplementedError as e:
+            raise Av1UnsupportedBitstreamError(str(e)) from e
+        except Exception as e:
+            # the decode state may be mid-frame; poison it so a later
+            # packet can't run on half-updated references
+            self.fdec = None
+            raise Av1CorruptFrameError(
+                f"{type(e).__name__}: {e}") from e
+
+    def _decode_packet(self, data: bytes) -> list:
         frames = []
         pos = 0
         while pos < len(data):
@@ -73,6 +97,10 @@ class Av1Decoder:
                 size, pos = read_leb128(data, pos)
             else:
                 size = len(data) - pos
+            if size < 0 or pos + size > len(data):
+                from ..errors import Av1CorruptFrameError
+                raise Av1CorruptFrameError(
+                    f"OBU size {size} overruns packet ({len(data)} bytes)")
             payload = data[pos : pos + size]
             pos += size
             self._handle_obu(obu_type, payload, frames)
@@ -349,8 +377,17 @@ class Av1Decoder:
 
 def decode_ivf(path: str) -> list:
     from ..bitstream.containers import read_ivf
+    from ..errors import Av1Error, Av1CorruptFrameError
     dec = Av1Decoder()
     frames = []
-    for pkt in read_ivf(path):
+    try:
+        packets = list(read_ivf(path))
+    except OSError:
+        raise
+    except Av1Error:
+        raise
+    except Exception as e:
+        raise Av1CorruptFrameError(f"bad IVF container: {e}") from e
+    for pkt in packets:
         frames.extend(dec.decode_packet(pkt))
     return frames
