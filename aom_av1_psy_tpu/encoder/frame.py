@@ -63,6 +63,21 @@ class EncoderConfig:
     def __post_init__(self):
         if self.lossless:
             self.base_q_idx = 0
+        # config validation (av1_validate_config / aom_codec_enc_config_set
+        # AOM_CODEC_INVALID_PARAM contract)
+        from ..errors import Av1InvalidParamError
+        if not (0 <= int(self.base_q_idx) <= 255):
+            raise Av1InvalidParamError(
+                f"base_q_idx {self.base_q_idx} outside [0, 255]")
+        if self.block_size not in (int(BlockSize.BLOCK_8X8),
+                                   int(BlockSize.BLOCK_16X16),
+                                   int(BlockSize.BLOCK_32X32),
+                                   int(BlockSize.BLOCK_64X64)):
+            raise Av1InvalidParamError(
+                f"unsupported max partition bsize {self.block_size}")
+        if not (0 <= int(self.tile_cols_log2) <= 6):
+            raise Av1InvalidParamError(
+                f"tile_cols_log2 {self.tile_cols_log2} outside [0, 6]")
 
 
 class FrameEncoder:

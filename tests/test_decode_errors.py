@@ -81,3 +81,16 @@ def test_bad_ivf(tmp_path):
     p.write_bytes(b"DKIF" + b"\x01" * 9)
     with pytest.raises(Av1Error):
         decode_ivf(str(p))
+
+
+def test_encoder_config_validation():
+    """AOM_CODEC_INVALID_PARAM on config (av1_validate_config analogue)."""
+    with pytest.raises(Av1InvalidParamError):
+        EncoderConfig(base_q_idx=300)
+    with pytest.raises(Av1InvalidParamError):
+        EncoderConfig(base_q_idx=-1)
+    with pytest.raises(Av1InvalidParamError):
+        EncoderConfig(block_size=1)
+    with pytest.raises(Av1InvalidParamError):
+        EncoderConfig(tile_cols_log2=9)
+    EncoderConfig(base_q_idx=255)  # boundary ok
