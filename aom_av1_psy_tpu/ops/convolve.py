@@ -134,3 +134,57 @@ def predict_subpel(ref_padded, w: int, h: int, subpel_x: int, subpel_y: int,
     if subpel_y:
         return convolve_y_sr(ref_padded[..., :, 3 : 3 + w], w, h, ky, bd)
     return ref_padded[..., 3 : 3 + h, 3 : 3 + w].astype(xp.int32)
+
+
+# ----------------------------------------------------------------------
+# scaled-reference convolve (av1/common/convolve.c:371
+# av1_convolve_2d_scale_c), single-ref path — the kernel behind inter
+# prediction from a reference of a different size (resize / superres GOPs).
+# ----------------------------------------------------------------------
+SCALE_SUBPEL_BITS = 10                    # aom_dsp/aom_filter.h:28
+SCALE_SUBPEL_MASK = (1 << SCALE_SUBPEL_BITS) - 1
+SCALE_EXTRA_BITS = SCALE_SUBPEL_BITS - 4  # qn -> 1/16-pel filter index
+
+
+def convolve_2d_scale(src, oy: int, ox: int, w: int, h: int,
+                      x_filters: np.ndarray, y_filters: np.ndarray,
+                      subpel_x_qn: int, x_step_qn: int,
+                      subpel_y_qn: int, y_step_qn: int, bd: int = 8):
+    """Scaled convolve, vectorized: each output column/row selects its own
+    integer source position and 1/16-pel kernel from the 1/1024-unit
+    position walk (x_qn += x_step_qn). src is the full padded reference
+    plane; (oy, ox) is the position of the block's first integer sample.
+    x_filters/y_filters: (16, taps) int32. Returns (h, w) uint8.
+    """
+    src = np.asarray(src, np.int32)
+    taps_x, taps_y = x_filters.shape[1], y_filters.shape[1]
+    fo_h, fo_v = taps_x // 2 - 1, taps_y // 2 - 1
+    round0 = ROUND0_BITS
+    round1 = 2 * FILTER_BITS - ROUND0_BITS
+    bits = 2 * FILTER_BITS - round0 - round1
+    im_h = (((h - 1) * y_step_qn + subpel_y_qn) >> SCALE_SUBPEL_BITS) + taps_y
+
+    # horizontal pass over the im_h source rows
+    x_qn = subpel_x_qn + np.arange(w, dtype=np.int64) * x_step_qn
+    bx = (x_qn >> SCALE_SUBPEL_BITS).astype(np.int64)
+    fx = ((x_qn & SCALE_SUBPEL_MASK) >> SCALE_EXTRA_BITS).astype(np.int64)
+    cols = ox + bx[:, None] + np.arange(taps_x)[None, :] - fo_h   # (w, t)
+    rows = oy - fo_v + np.arange(im_h)
+    slab = src[rows[:, None, None], cols[None]]                   # (im_h,w,t)
+    xf = x_filters[fx]                                            # (w, t)
+    off = 1 << (bd + FILTER_BITS - 1)
+    im = _round2(off + (slab * xf[None]).sum(-1), round0)         # (im_h, w)
+
+    # vertical pass: per-output-row base row and kernel
+    y_qn = subpel_y_qn + np.arange(h, dtype=np.int64) * y_step_qn
+    by = (y_qn >> SCALE_SUBPEL_BITS).astype(np.int64)
+    fy = ((y_qn & SCALE_SUBPEL_MASK) >> SCALE_EXTRA_BITS).astype(np.int64)
+    ry = by[:, None] + np.arange(taps_y)[None, :]                 # (h, t)
+    slab2 = im[ry]                                                # (h, t, w)
+    yf = y_filters[fy]                                            # (h, t)
+    offset_bits = bd + 2 * FILTER_BITS - round0
+    res = _round2((1 << offset_bits) + (slab2 * yf[:, :, None]).sum(1),
+                  round1)
+    res = res - ((1 << (offset_bits - round1))
+                 + (1 << (offset_bits - round1 - 1)))
+    return np.clip(_round2(res, bits), 0, (1 << bd) - 1).astype(np.uint8)
