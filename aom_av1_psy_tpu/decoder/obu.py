@@ -380,14 +380,20 @@ def decode_ivf(path: str) -> list:
     from ..errors import Av1Error, Av1CorruptFrameError
     dec = Av1Decoder()
     frames = []
-    try:
-        packets = list(read_ivf(path))
-    except OSError:
-        raise
-    except Av1Error:
-        raise
-    except Exception as e:
-        raise Av1CorruptFrameError(f"bad IVF container: {e}") from e
-    for pkt in packets:
+    # stream the container: each packet is pulled lazily so a large file is
+    # never buffered whole; container-level corruption in the iterator is
+    # mapped to the typed error surface per packet
+    it = iter(read_ivf(path))
+    while True:
+        try:
+            pkt = next(it)
+        except StopIteration:
+            break
+        except OSError:
+            raise
+        except Av1Error:
+            raise
+        except Exception as e:
+            raise Av1CorruptFrameError(f"bad IVF container: {e}") from e
         frames.extend(dec.decode_packet(pkt))
     return frames

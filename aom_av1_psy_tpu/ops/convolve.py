@@ -156,6 +156,10 @@ def convolve_2d_scale(src, oy: int, ox: int, w: int, h: int,
     plane; (oy, ox) is the position of the block's first integer sample.
     x_filters/y_filters: (16, taps) int32. Returns (h, w) uint8.
     """
+    # 8-bit only: the round_0/round_1 split below is the bd==8 derivation
+    # (get_conv_params adjusts rounds for bd>8 and the return dtype would
+    # truncate) — matching the rest of the 8-bit-only ops surface
+    assert bd == 8, "convolve_2d_scale implements the 8-bit rounding split"
     src = np.asarray(src, np.int32)
     taps_x, taps_y = x_filters.shape[1], y_filters.shape[1]
     fo_h, fo_v = taps_x // 2 - 1, taps_y // 2 - 1
