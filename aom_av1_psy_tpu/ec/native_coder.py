@@ -228,6 +228,7 @@ _P2_PTRS = (
     "beob_y32", "beob_y16", "beob_uv16", "beob_uv8",
     "base_y32", "base_y16", "base_uv16", "base_uv8",
     "br_y32", "br_y16", "br_uv16", "br_uv8", "dcs_y", "dcs_uv",
+    "y_delta32", "y_delta16",
 )
 _P2_INTS = (
     "R", "C", "mi_rows", "mi_cols", "nplanes",

@@ -9,9 +9,11 @@ partition tree, skip, modes, coefficients — replacing the per-symbol Python
 loop (av1/encoder/bitstream.c av1_pack_bitstream analogue).
 
 The streams are fully conforming AV1 KEY frames (verified bit-exact through
-the reference aomdec in tests) using the plan's feature set: square blocks
-of one size (8/16/32), TX == block size, DCT_DCT, intra modes
-{DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH}, 8-bit 4:2:0 / monochrome.
+the reference aomdec in tests) using the plan's feature set: 32->16
+two-level partition (or a uniform 8/16/32 grid), TX == block size, DCT_DCT,
+all 13 luma intra modes with angle deltas (directional z1/z2/z3 via
+tpu_intra_dir), chroma from the 7 extension-free modes, 8-bit 4:2:0 /
+monochrome.
 ``FrameEncoder`` (encoder/frame.py) remains the wide-syntax reference path
 (lossless, directional angles, adaptive partition, CDEF).
 """
@@ -197,6 +199,12 @@ class TpuFrameEncoder:
                 "y": self.srcp[0][:, t * tpw : (t + 1) * tpw],
                 "rd": rd[:, t * (tpw // 16) : (t + 1) * (tpw // 16)],
                 "mi_cols_eff": self._tile_masks(t),
+                # availability geometry: tiles are prediction-independent,
+                # so top-right never crosses the tile's ACTUAL right edge;
+                # the last tile additionally sees the frame's visible edge
+                "tile_mi_w": self.tile_mi,
+                "vis_mi_w": min(self.tile_mi,
+                                self.mi_cols - t * self.tile_mi),
             }
             if self.nplanes > 1:
                 sl["u"] = self.srcp[1][:, t * tpw // 2 : (t + 1) * tpw // 2]
@@ -213,7 +221,8 @@ class TpuFrameEncoder:
             plans.append(tpu_intra.plan_frame_part(
                 srcp, self.cfg.base_q_idx,
                 FrameContext(self.cfg.base_q_idx), sl["rd"],
-                self.mi_rows, sl["mi_cols_eff"]))
+                self.mi_rows, sl["mi_cols_eff"],
+                tile_mi_w=sl["tile_mi_w"], vis_mi_w=sl["vis_mi_w"]))
         return plans
 
     # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
@@ -547,6 +556,8 @@ class TpuFrameEncoder:
         Rc, Cc = R2 // 2, C2 // 2
 
         def av1_modes(idx):
+            # chroma plans store extension-free PLAN indices; luma modes
+            # come out of the wavefront as AV1 ids already
             return np.ascontiguousarray(plan_modes[idx], np.int32)
 
         tx32, tx16, tx8 = (int(TxSize.TX_32X32), int(TxSize.TX_16X16),
@@ -587,8 +598,10 @@ class TpuFrameEncoder:
 
         arrays = {
             "split32": np.ascontiguousarray(plan["split32"], np.uint8),
-            "y_mode32": av1_modes(plan["y_mode32"]),
-            "y_mode16": av1_modes(plan["y_mode16"]),
+            "y_mode32": np.ascontiguousarray(plan["y_mode32"], np.int32),
+            "y_mode16": np.ascontiguousarray(plan["y_mode16"], np.int32),
+            "y_delta32": np.ascontiguousarray(plan["y_delta32"], np.int32),
+            "y_delta16": np.ascontiguousarray(plan["y_delta16"], np.int32),
             "y_lv32": np.ascontiguousarray(plan["y_levels32"], np.int32),
             "y_lv16": np.ascontiguousarray(plan["y_levels16"], np.int32),
             "y_eob32": np.ascontiguousarray(plan["y_eob32"], np.int32),

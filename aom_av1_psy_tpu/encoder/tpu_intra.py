@@ -19,10 +19,12 @@ Design (TPU-first, not a translation of the reference):
   - rate terms come from precomputed default-CDF cost tables
     (av1/encoder/cost.c, mode_costs.c analogue) instead of re-running the
     entropy coder per candidate.
-  - the supported mode set {DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH}
-    needs no edge filtering (edge filter applies only to directional
-    modes with p_angle != 90/180, reconintra.c:1247), which keeps the
-    edge pipeline a pure gather.
+  - the uniform-grid plan codes the 7 extension-free modes
+    {DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH}; the two-level
+    partition plan additionally evaluates ALL directional modes with
+    angle deltas through the batched edge pipeline of
+    ``tpu_intra_dir`` (corner smoothing, 5-tap edge filtering, z1/z2/z3
+    gathers, availability-gated TR/BL extensions — reconintra.c:1081).
 
 Conformance contract: the recon this module produces IS the in-loop
 recon; the pack stage consumes the plan verbatim, so encoder recon ==
@@ -341,7 +343,7 @@ def _luma_wavefront(src, mode_cost, angle_cost, dc_q, ac_q, rdmult,
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "R", "C"))
-def _chroma_wavefront(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q, rdmult,
+def _chroma_wavefront(src_u, src_v, uv_cost, dc_q, ac_q, rdmult,
                       y_mode_idx, *, bs, R, C):
     """Joint U/V mode decision + recon. uv_cost: (13, M) cost of plan mode
     m given luma mode (uv_mode_cdf[cfl_allowed=1][y_mode])."""
@@ -381,7 +383,7 @@ def _chroma_wavefront(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q, rdmult,
             preds_uv.append((preds, sb))
         sse = sses[0] + sses[1]                                # (M,B)
         ym = plan_modes[y_mode_idx[rc, cc]]
-        rate = uv_cost[ym] + angle_cost[None, :]               # (B,M)
+        rate = uv_cost[ym]                                     # (B,M)
         rdm = rdmult[rc, cc]                                   # (B,)
         best = jnp.argmin(_rd(sse, rate.T, rdm), axis=0)
 
@@ -435,6 +437,30 @@ def _plan_cost_tables(fc):
     return kf, angle, uv
 
 
+def _plan_cost_tables2(fc):
+    """Candidate-shaped cost tables for the directional two-level plan:
+    kf (5, 5, K) luma mode cost per neighbour ctx, angle (K,) the
+    angle-delta symbol cost (0 for non-directional), uv (13, 7) as
+    before (chroma keeps the extension-free set)."""
+    from ..ec.costs import cdf_cost_table
+    from . import tpu_intra_dir as DIR
+    cands = DIR.candidates()
+    K = len(cands)
+    modes = [m for m, _, _ in cands]
+    kf = np.zeros((5, 5, K), np.int32)
+    for a in range(5):
+        for l in range(5):
+            t = cdf_cost_table(fc.kf_y_cdf[a][l], 13)
+            kf[a, l] = t[modes]
+    angle = np.zeros(K, np.int32)
+    for i, (mode, delta, _c) in enumerate(cands):
+        if 1 <= mode <= 8:
+            angle[i] = cdf_cost_table(fc.angle_delta_cdf[mode - 1],
+                                      7)[delta + 3]
+    _kf7, _a7, uv = _plan_cost_tables(fc)
+    return kf, angle, uv
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _shrink_levels(lv):
     """Levels are clipped to +/-32767 (int16 range) — downcast on device
@@ -474,8 +500,7 @@ def plan_frame(src_planes, q, bs, fc, rdmult, fetch_recon=False):
         u, v = src_planes[1], src_planes[2]
         uvm, uvlv, uveob, uvrec = _chroma_wavefront(
             jnp.asarray(u), jnp.asarray(v), jnp.asarray(uv_cost),
-            jnp.asarray(angle_cost), dc_q, ac_q, rdgrid,
-            ym, bs=cbs, R=R, C=C)
+            dc_q, ac_q, rdgrid, ym, bs=cbs, R=R, C=C)
         plan["uv_mode"] = np.asarray(uvm)
         plan["uv_levels"] = np.asarray(_shrink_levels(uvlv)).astype(np.int32)
         plan["uv_eob"] = np.asarray(uveob)
@@ -519,36 +544,52 @@ def _skip_rd(levels, eob, recon, pred, src, rdm, alpha, beta):
 @functools.partial(jax.jit, static_argnames=("R", "C"))
 def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
                          rd16, rd32, forced, no_split, pr_none, pr_split,
-                         alpha, beta, *, R, C):
-    """Two-level luma wavefront over 32px cells.
+                         alpha, beta, masks, *, R, C):
+    """Two-level luma wavefront over 32px cells with the FULL candidate
+    set: 7 extension-free modes + all directional (mode, delta) pairs
+    (tpu_intra_dir). Candidate availability follows the normative
+    has_top_right/has_bottom_left rules via the host-precomputed
+    ``masks`` grids.
 
     src: (R*32, C*32) int32; rd16 (2R,2C) / rd32 (R,C) lambda grids;
     forced (R,C) bool — cells where the decoder implies SPLIT (frame
-    edge, has_rows/has_cols false). Returns (split (R,C), m32, lv32,
-    eob32, m16, lv16, eob16, recon)."""
+    edge, has_rows/has_cols false). Returns (split (R,C), m32 (AV1 mode),
+    d32 (angle delta), lv32, eob32, m16, d16, lv16, eob16, recon)."""
+    from . import tpu_intra_dir as DIR
     tx32, tx16 = BS_TO_TX[32], BS_TO_TX[16]
     scan32 = jnp.asarray(tables.scan_table(tx32, 0))
     scan16 = jnp.asarray(tables.scan_table(tx16, 0))
     H, W = R * 32, C * 32
     B = min(R, C)
+    tab = DIR.tables(32)
+    MODE32 = jnp.asarray(tab["MODE"])
+    DELTA32 = jnp.asarray(tab["DELTA"])
+    tab16t = DIR.tables(16)
+    MODE16 = jnp.asarray(tab16t["MODE"])
+    DELTA16 = jnp.asarray(tab16t["DELTA"])
     buf = jnp.zeros((H + 2 + 32, W + 2 + 32), jnp.int32)
-    mode16 = jnp.zeros((2 * R, 2 * C), jnp.int32)   # plan-mode index map
+    mode16 = jnp.zeros((2 * R, 2 * C), jnp.int32)   # AV1 mode ctx map
     split_out = jnp.zeros((R, C), jnp.int32)
     m32o = jnp.zeros((R, C), jnp.int32)
+    d32o = jnp.zeros((R, C), jnp.int32)
     lv32o = jnp.zeros((R, C, 1024), jnp.int32)
     e32o = jnp.zeros((R, C), jnp.int32)
     m16o = jnp.zeros((2 * R, 2 * C), jnp.int32)
+    d16o = jnp.zeros((2 * R, 2 * C), jnp.int32)
     lv16o = jnp.zeros((2 * R, 2 * C, 256), jnp.int32)
     e16o = jnp.zeros((2 * R, 2 * C), jnp.int32)
     imc = jnp.asarray(INTRA_MODE_CONTEXT)
-    plan_modes = jnp.asarray(PLAN_MODES, jnp.int32)
 
-    def mode_rate(am_idx, lm_idx):
-        return mode_cost[imc[plan_modes[am_idx]], imc[plan_modes[lm_idx]]] \
-            + angle_cost[None, :]                     # (B, M)
+    def mode_rate(am, lm):
+        # am/lm are AV1 mode ids of the neighbours
+        return mode_cost[imc[am], imc[lm]] + angle_cost[None, :]  # (B, K)
+
+    def smooth(m):
+        return (m >= 9) & (m <= 11)
 
     def step(carry, d):
-        (buf, mode16, split_out, m32o, lv32o, e32o, m16o, lv16o, e16o) = carry
+        (buf, mode16, split_out, m32o, d32o, lv32o, e32o, m16o, d16o,
+         lv16o, e16o) = carry
         r0 = jnp.maximum(0, d - (C - 1))
         r = r0 + jnp.arange(B, dtype=jnp.int32)
         c = d - r
@@ -565,13 +606,30 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
         src32 = src[rows[:, :, None] - 1, cols[:, None, :] - 1]  # (B,32,32)
 
         # ---- 32 path ----
-        preds = _predict_all_modes(above, left, tl, have_a, have_l, 32)
-        ssep = ((preds - src32[None]) ** 2).sum((-1, -2))        # (M,B)
         am = jnp.where(have_a, mode16[2 * rc - 1, 2 * cc], 0)
         lm = jnp.where(have_l, mode16[2 * rc, jnp.maximum(2 * cc - 1, 0)], 0)
-        rate32 = mode_rate(am, lm)                               # (B,M)
+        ef = (smooth(am) & have_a) | (smooth(lm) & have_l)
+        zero_ext = jnp.zeros((B, 32), jnp.int32)
+        falseb = jnp.zeros((B,), bool)
+        E32 = DIR.build_edge_buffer(above, left, tl, have_a, have_l,
+                                    falseb, falseb, zero_ext, zero_ext, 32)
+        preds = jnp.concatenate([
+            _predict_all_modes(above, left, tl, have_a, have_l, 32),
+            DIR.dir_predict(E32, ef, 32)], axis=0)               # (K,B,..)
+        ssep = ((preds - src32[None]) ** 2).sum((-1, -2))        # (K,B)
+        allowed = DIR.allowed_mask(masks["ok1_32"][rc, cc],
+                                   masks["ok2_32"][rc, cc],
+                                   masks["ok3_32"][rc, cc], 32)  # (K,B)
+        rate32 = mode_rate(am, lm)                               # (B,K)
         rdm32 = rd32[rc, cc]
-        best32 = jnp.argmin(_rd(ssep, rate32.T, rdm32), axis=0)
+        # disallowed candidates are masked in the RD domain: a rate
+        # penalty can be outweighed by an SSE gap at small rdmult, and a
+        # candidate whose edge model mismatches the decoder's must NEVER
+        # win (closed-loop divergence)
+        rd32c = jnp.where(allowed, _rd(ssep, rate32.T, rdm32), jnp.inf)
+        best32 = jnp.argmin(rd32c, axis=0)
+        ymode32 = MODE32[best32]
+        ydelta32 = DELTA32[best32]
         pred32 = jnp.take_along_axis(preds, best32[None, :, None, None],
                                      axis=0)[0]
         lv32, e32, rec32 = _tq_recon(src32, pred32, dc_q, ac_q, tx32, scan32)
@@ -597,9 +655,8 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
             t = loc[:, qr * 16, qc * 16]
             ha = have_a | (qr > 0)
             hl = have_l | (qc > 0)
-            p16 = _predict_all_modes(a, l, t, ha, hl, 16)
-            s16 = src32[:, qr * 16 : qr * 16 + 16, qc * 16 : qc * 16 + 16]
-            sp = ((p16 - s16[None]) ** 2).sum((-1, -2))
+            i16 = 2 * rc + qr
+            j16 = 2 * cc + qc
             if qr == 0:
                 am = jnp.where(have_a, mode16[2 * rc - 1, 2 * cc + qc], 0)
             else:
@@ -610,9 +667,30 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
                                       jnp.maximum(2 * cc - 1, 0)], 0)
             else:
                 lm = sub_modes[(qr, 0)]
+            ef16 = (smooth(am) & ha) | (smooth(lm) & hl)
+            # real extension pixels in wavefront+Z order (see
+            # tpu_intra_dir.position_masks): top-right row = loc row
+            # qr*16 cols 17..32, bottom-left col = loc col 0 rows 17..32
+            aext = loc[:, qr * 16, 17:33]
+            lext = loc[:, 17:33, qc * 16]
+            trr = masks["trreal_16"][i16, j16]
+            blr = masks["blreal_16"][i16, j16]
+            E16 = DIR.build_edge_buffer(a, l, t, ha, hl, trr, blr,
+                                        aext, lext, 16)
+            p16 = jnp.concatenate([
+                _predict_all_modes(a, l, t, ha, hl, 16),
+                DIR.dir_predict(E16, ef16, 16)], axis=0)
+            s16 = src32[:, qr * 16 : qr * 16 + 16, qc * 16 : qc * 16 + 16]
+            sp = ((p16 - s16[None]) ** 2).sum((-1, -2))
+            allowed16 = DIR.allowed_mask(masks["ok1_16"][i16, j16],
+                                         masks["ok2_16"][i16, j16],
+                                         masks["ok3_16"][i16, j16], 16)
             r16 = mode_rate(am, lm)
-            rdm16 = rd16[2 * rc + qr, 2 * cc + qc]
-            b16 = jnp.argmin(_rd(sp, r16.T, rdm16), axis=0)
+            rdm16 = rd16[i16, j16]
+            rd16c = jnp.where(allowed16, _rd(sp, r16.T, rdm16), jnp.inf)
+            b16 = jnp.argmin(rd16c, axis=0)
+            ymode16 = MODE16[b16]
+            ydelta16 = DELTA16[b16]
             pr = jnp.take_along_axis(p16, b16[None, :, None, None],
                                      axis=0)[0]
             lv, e, rec = _tq_recon(s16, pr, dc_q, ac_q, tx16, scan16)
@@ -623,8 +701,8 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
                 mrate.astype(jnp.float32) + crate)
             loc = jax.lax.dynamic_update_slice(
                 loc, rec, (0, 1 + qr * 16, 1 + qc * 16))
-            sub_modes[(qr, qc)] = b16
-            subs.append((b16, lv, e))
+            sub_modes[(qr, qc)] = ymode16
+            subs.append((ymode16, ydelta16, lv, e))
         cost16 = cost16 + (rdm32 / 512.0) * pr_split
 
         split = forced[rc, cc] | ((cost16 < cost32) & ~no_split[rc, cc])
@@ -634,31 +712,35 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
         rs = jnp.where(valid, rc, R)
         split_out = split_out.at[rs, cc].set(split.astype(jnp.int32),
                                              mode="drop")
-        m32o = m32o.at[rs, cc].set(best32, mode="drop")
+        m32o = m32o.at[rs, cc].set(ymode32, mode="drop")
+        d32o = d32o.at[rs, cc].set(ydelta32, mode="drop")
         lv32o = lv32o.at[rs, cc].set(lv32, mode="drop")
         e32o = e32o.at[rs, cc].set(e32, mode="drop")
         for qi, (qr, qc) in enumerate(_QUADS):
-            b16, lv, e = subs[qi]
+            ym16, yd16, lv, e = subs[qi]
             rq = jnp.where(valid, 2 * rc + qr, 2 * R)
             cq = 2 * cc + qc
-            m16o = m16o.at[rq, cq].set(b16, mode="drop")
+            m16o = m16o.at[rq, cq].set(ym16, mode="drop")
+            d16o = d16o.at[rq, cq].set(yd16, mode="drop")
             lv16o = lv16o.at[rq, cq].set(lv, mode="drop")
             e16o = e16o.at[rq, cq].set(e, mode="drop")
             # ctx map: chosen sub mode where split else the 32 mode
             mode16 = mode16.at[rq, cq].set(
-                jnp.where(split, b16, best32), mode="drop")
-        return (buf, mode16, split_out, m32o, lv32o, e32o, m16o, lv16o,
-                e16o), None
+                jnp.where(split, ym16, ymode32), mode="drop")
+        return (buf, mode16, split_out, m32o, d32o, lv32o, e32o, m16o,
+                d16o, lv16o, e16o), None
 
-    init = (buf, mode16, split_out, m32o, lv32o, e32o, m16o, lv16o, e16o)
-    (buf, mode16, split_out, m32o, lv32o, e32o, m16o, lv16o, e16o), _ = \
-        jax.lax.scan(step, init, jnp.arange(R + C - 1, dtype=jnp.int32))
-    return (split_out, m32o, lv32o, e32o, m16o, lv16o, e16o,
+    init = (buf, mode16, split_out, m32o, d32o, lv32o, e32o, m16o, d16o,
+            lv16o, e16o)
+    (buf, mode16, split_out, m32o, d32o, lv32o, e32o, m16o, d16o, lv16o,
+     e16o), _ = jax.lax.scan(
+        step, init, jnp.arange(R + C - 1, dtype=jnp.int32))
+    return (split_out, m32o, d32o, lv32o, e32o, m16o, d16o, lv16o, e16o,
             buf[1 : 1 + H, 1 : 1 + W])
 
 
 @functools.partial(jax.jit, static_argnames=("R", "C"))
-def _chroma_wavefront_part(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q,
+def _chroma_wavefront_part(src_u, src_v, uv_cost, dc_q, ac_q,
                            rd16, rd32, split32, y_m32, y_m16, alpha, beta,
                            *, R, C):
     """Two-level chroma wavefront over 16px chroma cells (4:2:0 mirror of
@@ -699,7 +781,7 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q,
         rdm32 = rd32[rc, cc]
 
         # ---- 16 path (single chroma block per plane) ----
-        ym32 = plan_modes[y_m32[rc, cc]]
+        ym32 = y_m32[rc, cc]                        # AV1 mode ids
         sse16 = 0
         pb16 = []
         for p, srcp in ((0, src_u), (1, src_v)):
@@ -708,7 +790,7 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q,
             sb = srcp[rows[:, :, None] - 1, cols[:, None, :] - 1]
             sse16 = sse16 + ((preds - sb[None]) ** 2).sum((-1, -2))
             pb16.append((preds, sb))
-        rate16 = uv_cost[ym32] + angle_cost[None, :]
+        rate16 = uv_cost[ym32]
         best16 = jnp.argmin(_rd(sse16, rate16.T, rdm32), axis=0)
         uvmode16 = plan_modes[best16]
         res16 = []
@@ -735,7 +817,7 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q,
         for qi, (qr, qc) in enumerate(_QUADS):
             ha = have_a | (qr > 0)
             hl = have_l | (qc > 0)
-            ym = plan_modes[y_m16[2 * rc + qr, 2 * cc + qc]]
+            ym = y_m16[2 * rc + qr, 2 * cc + qc]    # AV1 mode id
             sse8 = 0
             pb8 = []
             for p, srcp in ((0, src_u), (1, src_v)):
@@ -750,7 +832,7 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, angle_cost, dc_q, ac_q,
                           cols[:, None, qc * 8 : qc * 8 + 8] - 1]
                 sse8 = sse8 + ((preds - sb[None]) ** 2).sum((-1, -2))
                 pb8.append((preds, sb))
-            rate8 = uv_cost[ym] + angle_cost[None, :]
+            rate8 = uv_cost[ym]
             rdm16 = rd16[2 * rc + qr, 2 * cc + qc]
             b8 = jnp.argmin(_rd(sse8, rate8.T, rdm16), axis=0)
             uvmode8 = plan_modes[b8]
@@ -813,16 +895,26 @@ def _part_rate_scalars(fc):
 
 
 def plan_frame_part(src_planes, q, fc, rdmult, mi_rows, mi_cols,
-                    fetch_recon=False):
+                    fetch_recon=False, tile_mi_w=None, vis_mi_w=None):
     """Two-level (32 -> 16) partition plan over one frame.
 
     src_planes: mi-aligned int32 planes padded to multiples of 32 (luma)
     / 16 (chroma). ``rdmult`` scalar or (2R, 2C) 16-granularity grid.
-    Returns the plan dict consumed by the v2 native pack."""
-    kf_cost, angle_cost, uv_cost = _plan_cost_tables(fc)
+    ``tile_mi_w``/``vis_mi_w`` (tile columns): the tile's actual mi width
+    (bounds top-right availability across the prediction-independent tile
+    edge) and the visible mi width (alignment of partial edge blocks);
+    both default to ``mi_cols``. Returns the plan dict consumed by the v2
+    native pack; luma modes are AV1 ids with angle deltas
+    (y_delta32/y_delta16)."""
+    from . import tpu_intra_dir as DIR
+    kf_cost, angle_cost, uv_cost = _plan_cost_tables2(fc)
     y = src_planes[0]
     R, C = y.shape[0] // 32, y.shape[1] // 32
     dc_q, ac_q = tables.dc_quant(q), tables.ac_quant(q)
+    masks_np = DIR.position_masks(
+        mi_rows, tile_mi_w if tile_mi_w is not None else mi_cols,
+        vis_mi_w if vis_mi_w is not None else mi_cols, R, C)
+    masks = {k: jnp.asarray(v) for k, v in masks_np.items()}
 
     rd16 = np.asarray(rdmult, np.float32)
     if rd16.ndim == 0:
@@ -849,15 +941,17 @@ def plan_frame_part(src_planes, q, fc, rdmult, mi_rows, mi_cols,
     assert not (forced & no_split).any(), "unsupported mi dims for part2"
     pr_none, pr_split = _part_rate_scalars(fc)
 
-    split, m32, lv32, e32, m16, lv16, e16, yrec = _luma_wavefront_part(
-        jnp.asarray(y), jnp.asarray(kf_cost), jnp.asarray(angle_cost),
-        dc_q, ac_q, jnp.asarray(rd16), jnp.asarray(rd32),
-        jnp.asarray(forced), jnp.asarray(no_split), pr_none, pr_split,
-        RATE_PER_COEFF, RATE_PER_TXB, R=R, C=C)
+    split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec = \
+        _luma_wavefront_part(
+            jnp.asarray(y), jnp.asarray(kf_cost), jnp.asarray(angle_cost),
+            dc_q, ac_q, jnp.asarray(rd16), jnp.asarray(rd32),
+            jnp.asarray(forced), jnp.asarray(no_split), pr_none, pr_split,
+            RATE_PER_COEFF, RATE_PER_TXB, masks, R=R, C=C)
     plan = {
         "part": True,
         "split32": np.asarray(split).astype(np.uint8),
         "y_mode32": np.asarray(m32), "y_mode16": np.asarray(m16),
+        "y_delta32": np.asarray(d32), "y_delta16": np.asarray(d16),
         "y_levels32": np.asarray(_shrink_levels(lv32)).astype(np.int32),
         "y_levels16": np.asarray(_shrink_levels(lv16)).astype(np.int32),
         "y_eob32": np.asarray(e32), "y_eob16": np.asarray(e16),
@@ -868,7 +962,7 @@ def plan_frame_part(src_planes, q, fc, rdmult, mi_rows, mi_cols,
         uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec = \
             _chroma_wavefront_part(
                 jnp.asarray(u), jnp.asarray(v), jnp.asarray(uv_cost),
-                jnp.asarray(angle_cost), dc_q, ac_q, jnp.asarray(rd16),
+                dc_q, ac_q, jnp.asarray(rd16),
                 jnp.asarray(rd32), split, m32, m16,
                 RATE_PER_COEFF, RATE_PER_TXB, R=R, C=C)
         plan["uv_mode16"] = np.asarray(uvm16)

@@ -863,6 +863,9 @@ struct Pack2Params {  // mirrored by ctypes in ec/native_coder.py
   uint16_t *base_y32, *base_y16, *base_uv16, *base_uv8;  // (42,5)
   uint16_t *br_y32, *br_y16, *br_uv16, *br_uv8;          // (21,5)
   uint16_t *dcs_y, *dcs_uv;                              // (3,3)
+  // per-block luma angle deltas (-3..3) for directional modes (same grid
+  // layouts as y_mode32/y_mode16); written as symbol delta+3
+  const int32_t *y_delta32, *y_delta16;
   // scalars
   int64_t R, C, mi_rows, mi_cols, nplanes;
   int64_t eobn_y32, eobn_y16, eobn_uv16, eobn_uv8;
@@ -939,7 +942,7 @@ void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
   const int Cc = static_cast<int>(p.C);
   const int total32 = static_cast<int>(p.R) * Cc;
   const int total16 = 4 * total32;
-  int ymode, uvm;
+  int ymode, uvm, ydelta = 0;
   const int32_t *ylv;
   int yeob;
   const int32_t *uvlv[2];
@@ -947,6 +950,7 @@ void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
   if (bs == 32) {
     const int bi = (mi_row / 8) * Cc + (mi_col / 8);
     ymode = p.y_mode32[bi];
+    if (p.y_delta32) ydelta = p.y_delta32[bi];
     ylv = p.y_lv32 + static_cast<long>(bi) * 1024;
     yeob = p.y_eob32[bi];
     uvm = p.nplanes > 1 ? p.uv_mode16[bi] : 0;
@@ -957,6 +961,7 @@ void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
   } else {
     const int bi = (mi_row / 4) * C2 + (mi_col / 4);
     ymode = p.y_mode16[bi];
+    if (p.y_delta16) ydelta = p.y_delta16[bi];
     ylv = p.y_lv16 + static_cast<long>(bi) * 256;
     yeob = p.y_eob16[bi];
     uvm = p.nplanes > 1 ? p.uv_mode8[bi] : 0;
@@ -979,7 +984,7 @@ void pack2_block(Pack2State &st, const TxBundle &yb, const TxBundle &uvb,
   const int actx = p.intra_mode_ctx[am], lctx = p.intra_mode_ctx[lm];
   e->encode_symbol(ymode, p.kf_y_cdf + (actx * 5 + lctx) * 14, 13);
   if (ymode >= 1 && ymode <= 8)
-    e->encode_symbol(3, p.angle_cdf + (ymode - 1) * 8, 7);
+    e->encode_symbol(3 + ydelta, p.angle_cdf + (ymode - 1) * 8, 7);
   if (p.nplanes > 1) {
     e->encode_symbol(uvm, p.uv_cdf + ymode * 15, 14);
     if (uvm >= 1 && uvm <= 8)

@@ -92,11 +92,21 @@ def tile_plans_sharded(mesh: Mesh, slabs: list, q: int, mi_rows: int):
     T = len(slabs)
     assert np.prod(mesh.devices.shape) == T, (mesh.devices.shape, T)
     fc = FrameContext(q)
-    kf_cost, angle_cost, uv_cost = TI._plan_cost_tables(fc)
+    kf_cost, angle_cost, uv_cost = TI._plan_cost_tables2(fc)
     dc_q, ac_q = tables.dc_quant(q), tables.ac_quant(q)
     pr_none, pr_split = TI._part_rate_scalars(fc)
     y0 = slabs[0]["y"]
     R, C = y0.shape[0] // 32, y0.shape[1] // 32
+
+    from ..encoder import tpu_intra_dir as DIR
+    _mask_keys = ("ok1_32", "ok2_32", "ok3_32", "ok1_16", "ok2_16",
+                  "ok3_16", "trreal_16", "blreal_16")
+    tile_masks = []
+    for s in slabs:
+        m = DIR.position_masks(mi_rows, s["tile_mi_w"], s["vis_mi_w"], R, C)
+        tile_masks.append(m)
+    masks_st = {k: jnp.stack([jnp.asarray(m[k]) for m in tile_masks])
+                for k in _mask_keys}
 
     ys = jnp.stack([jnp.asarray(s["y"]) for s in slabs])
     us = jnp.stack([jnp.asarray(s["u"]) for s in slabs])
@@ -128,29 +138,32 @@ def tile_plans_sharded(mesh: Mesh, slabs: list, q: int, mi_rows: int):
     angle_cost = jnp.asarray(angle_cost)
     uv_cost = jnp.asarray(uv_cost)
 
-    def body(y, u, v, rdf, rdc, forced, nos):
+    def body(y, u, v, rdf, rdc, forced, nos, *mask_leaves):
         y, u, v = y[0], u[0], v[0]
         rdf, rdc = rdf[0], rdc[0]
         forced, nos = forced[0], nos[0]
-        split, m32, lv32, e32, m16, lv16, e16, yrec = \
+        masks = {k: ml[0] for k, ml in zip(_mask_keys, mask_leaves)}
+        split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec = \
             TI._luma_wavefront_part(
                 y, kf_cost, angle_cost, dc_q, ac_q, rdf, rdc, forced, nos,
                 pr_none, pr_split, TI.RATE_PER_COEFF, TI.RATE_PER_TXB,
-                R=R, C=C)
+                masks, R=R, C=C)
         uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec = \
             TI._chroma_wavefront_part(
-                u, v, uv_cost, angle_cost, dc_q, ac_q, rdf, rdc, split,
+                u, v, uv_cost, dc_q, ac_q, rdf, rdc, split,
                 m32, m16, TI.RATE_PER_COEFF, TI.RATE_PER_TXB, R=R, C=C)
-        outs = (split, m32, lv32, e32, m16, lv16, e16, yrec,
+        outs = (split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec,
                 uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec)
         return tuple(o[None] for o in outs)
 
+    n_in = 7 + len(_mask_keys)
     fn = jax.jit(shard_map(
-        body, mesh=mesh, in_specs=(P("tiles"),) * 7,
-        out_specs=(P("tiles"),) * 15, check_rep=False))
-    outs = fn(ys, us, vs, rd16, rd32, forceds, no_splits)
+        body, mesh=mesh, in_specs=(P("tiles"),) * n_in,
+        out_specs=(P("tiles"),) * 17, check_rep=False))
+    outs = fn(ys, us, vs, rd16, rd32, forceds, no_splits,
+              *[masks_st[k] for k in _mask_keys])
     outs = [np.asarray(o) for o in outs]
-    (split, m32, lv32, e32, m16, lv16, e16, yrec,
+    (split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec,
      uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec) = outs
     plans = []
     for t in range(T):
@@ -158,6 +171,7 @@ def tile_plans_sharded(mesh: Mesh, slabs: list, q: int, mi_rows: int):
             "part": True,
             "split32": split[t].astype(np.uint8),
             "y_mode32": m32[t], "y_mode16": m16[t],
+            "y_delta32": d32[t], "y_delta16": d16[t],
             "y_levels32": lv32[t].astype(np.int32),
             "y_levels16": lv16[t].astype(np.int32),
             "y_eob32": e32[t], "y_eob16": e16[t],

@@ -188,3 +188,68 @@ def test_tpu_cdef_search_conforming(tmp_path):
     c = enc_on.fh.cdef
     assert c.y_pri[0] > 0 or c.y_sec[0] > 0, "no strength picked"
     assert psnr_on >= psnr_off - 1e-9, (psnr_on, psnr_off)
+
+
+# ----------------------------------------------------------------------
+# directional modes in the fused plan (round 5)
+# ----------------------------------------------------------------------
+def make_diag_frame(w, h, seed=3):
+    """Content with strong diagonal structure so directional modes win."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    y = np.clip(100 + 70 * np.sin((xx + 0.7 * yy) / 9.0)
+                + 40 * ((xx - yy) // 24 % 2) + rng.normal(0, 4, (h, w)),
+                0, 255).astype(np.uint8)
+    u = np.clip(120 + 30 * np.sin(xx[:h:2, :w:2] / 19.0), 0,
+                255).astype(np.uint8)
+    v = np.clip(100 + 30 * np.cos((xx + yy)[:h:2, :w:2] / 13.0), 0,
+                255).astype(np.uint8)
+    return Frame(y, u, v)
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+@pytest.mark.parametrize("q", [32, 80, 160])
+def test_tpu_directional_modes_closed_loop(tmp_path, q):
+    """Directional (z1/z2/z3 + angle delta) candidates must be chosen on
+    diagonal content AND the plan recon must equal the decoder recon
+    bit-exactly — guards the batched edge pipeline (corner smoothing,
+    strength/type edge filtering, availability-gated TR/BL extensions,
+    reconintra.c:1081) against closed-loop divergence. q=32 guards the
+    small-rdmult regime where a rate-penalty mask once let disallowed
+    candidates win."""
+    w, h = 176, 144
+    f = make_diag_frame(w, h)
+    enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=q))
+    orig = enc.make_headers
+
+    def _nolpf():
+        seq_, fh_ = orig()
+        fh_.lf.filter_level = (0, 0)
+        fh_.lf.filter_level_u = 0
+        fh_.lf.filter_level_v = 0
+        return seq_, fh_
+
+    enc.make_headers = _nolpf
+    data = enc.encode()
+    ndir = int(((enc.plan["y_mode32"] >= 3) & (enc.plan["y_mode32"] <= 8))
+               .sum()) + \
+        int(((enc.plan["y_mode16"] >= 3) & (enc.plan["y_mode16"] <= 8)).sum())
+    assert ndir > 10, f"directional modes unused on diagonal content: {ndir}"
+    assert int((enc.plan["y_delta32"] != 0).sum()
+               + (enc.plan["y_delta16"] != 0).sum()) > 0
+
+    path = str(tmp_path / "dir.ivf")
+    raw = str(tmp_path / "dir.yuv")
+    write_ivf(path, [data], w, h)
+    r = subprocess.run([AOMDEC, "--rawvideo", "-o", raw, path],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    buf = np.fromfile(raw, np.uint8)
+    cw, ch = w // 2, h // 2
+    dy = buf[: w * h].reshape(h, w).astype(np.int32)
+    du = buf[w * h : w * h + cw * ch].reshape(ch, cw).astype(np.int32)
+    dv = buf[w * h + cw * ch :].reshape(ch, cw).astype(np.int32)
+    rec = [np.asarray(x) for x in enc.plan["recon_dev"]]
+    assert np.array_equal(rec[0][:h, :w], dy)
+    assert np.array_equal(rec[1][:ch, :cw], du)
+    assert np.array_equal(rec[2][:ch, :cw], dv)
