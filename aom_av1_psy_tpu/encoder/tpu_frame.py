@@ -227,7 +227,7 @@ class TpuFrameEncoder:
 
     # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
     def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:
-        use_cdef = bool(self.cfg.search_cdef and self.tile_T == 1)
+        use_cdef = bool(self.cfg.search_cdef)
         seq = SequenceHeader(
             max_frame_width=self.w, max_frame_height=self.h,
             frame_width_bits=max(self.w - 1, 1).bit_length(),
@@ -272,6 +272,7 @@ class TpuFrameEncoder:
             self.tile_plans = plans
             datas = []
             tile_fcs = []
+            tile_skips = []
             for t, p in enumerate(plans):
                 col0 = t * self.tile_mi
                 vis = min(self.tile_mi, self.mi_cols - col0)
@@ -279,6 +280,13 @@ class TpuFrameEncoder:
                 datas.append(self._pack2(
                     p, tfc, fh, mi_col_off=col0, mi_cols_vis=vis))
                 tile_fcs.append(tfc)
+                tile_skips.append(self._last_skip_blk)
+            # frame skip map stitched from the tile columns (for the
+            # in-loop filter searches; previously first-tile-only)
+            skip_blk = np.concatenate(tile_skips, axis=1)
+            self.mi_skip = np.repeat(
+                np.repeat(skip_blk.astype(np.int32), 4, 0),
+                4, 1)[: self.mi_rows, : self.mi_cols]
             # frame-end context = context_update_tile_id's adapted state
             fc = tile_fcs[fh.tiles.context_update_tile_id]
             tile_data = b""
@@ -305,6 +313,11 @@ class TpuFrameEncoder:
             t1 = time.perf_counter()
             self.plan = plan
             tile_data = self._pack(plan, fc, fh)
+        if self.use_part:
+            # device LPF: pick per-plane levels on the TPU (picklpf ladder
+            # as a vmapped stencil, ops/deblock_jax.py) and keep the
+            # post-LPF recon on device — it is the inter reference chain
+            self._lpf_device(fh)
         self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
         if seq.enable_cdef:
             # pick frame-level CDEF strengths on the post-LPF recon; header
@@ -361,63 +374,132 @@ class TpuFrameEncoder:
 
         return up(ytx), up(bsz), up(uvtx)
 
+    def _split16_frame(self) -> np.ndarray:
+        """(2R, 2C) frame split map stitched over tile columns."""
+        if self.tile_T > 1:
+            sp = np.concatenate([p["split32"] for p in self.tile_plans],
+                                axis=1)
+        else:
+            sp = self.plan["split32"]
+        return np.repeat(np.repeat(sp.astype(bool), 2, 0), 2, 1)
+
+    def _recon_dev_frame(self):
+        """Frame recon planes on device (tile columns concatenated)."""
+        import jax.numpy as jnp
+        if self.tile_T > 1:
+            recs = []
+            for p in range(self.nplanes):
+                recs.append(jnp.concatenate(
+                    [pl["recon_dev"][p] for pl in self.tile_plans], axis=1))
+            return recs
+        return list(self.plan["recon_dev"])
+
+    def _lpf_device(self, fh: FrameHeader) -> None:
+        """Pick + apply the loop filter on device (av1_pick_filter_level
+        analogue, ops/deblock_jax.py). When ``cfg.search_lpf`` a 6-rung
+        ladder around the q-derived first guess is evaluated per plane by
+        frame MSE; otherwise the first guess is applied as-is. Sets
+        ``fh.lf`` and keeps ``self.ref_planes_dev`` = post-LPF recon (the
+        inter reference chain; av1/encoder/encoder.c:2366 pipeline
+        position)."""
+        import jax.numpy as jnp
+        from ..ops import deblock_jax as DJ
+        split16 = jnp.asarray(self._split16_frame())
+        recs = self._recon_dev_frame()
+        w, h = self.mi_cols * 4, self.mi_rows * 4
+        if self.cfg.search_lpf:
+            g = fh.lf.filter_level[0]
+            cands = np.array([0, g // 2, max(g - 2, 0), g,
+                              min(g + 2, 63), min(g * 2, 63)], np.int32)
+            srcs = tuple(jnp.asarray(p) for p in self.srcp[: self.nplanes])
+            levels, outs = DJ.lpf_pick_and_filter(
+                tuple(recs), srcs, split16, cands, w=w, h=h,
+                nplanes=self.nplanes)
+            lv = [int(x) for x in np.asarray(levels)]
+            fh.lf.filter_level = (lv[0], lv[0])
+            fh.lf.filter_level_u = lv[1]
+            fh.lf.filter_level_v = lv[2]
+            self.ref_planes_dev = list(outs)
+        else:
+            lv = [fh.lf.filter_level[0], fh.lf.filter_level_u,
+                  fh.lf.filter_level_v]
+            outs = DJ.lpf_apply(tuple(recs), split16,
+                                jnp.asarray(lv, jnp.int32), w=w, h=h,
+                                nplanes=self.nplanes)
+            self.ref_planes_dev = list(outs)
+
     def _search_cdef_fused(self, fh: FrameHeader) -> None:
         """In-loop filter pick on the plan recon: picklpf-style filter
         level search (when cfg.search_lpf) followed by the frame-level
         CDEF strength pick (av1/encoder/pickcdef.c role; search in
         ops/cdef.py, vectorized over every non-skip 8x8 unit at once)."""
         from ..ops import deblock, cdef as cdef_ops
-        mi_tx, mi_bsz, mi_uv = self._cdef_grids()
         mh, mw = self.mi_rows * 4, self.mi_cols * 4
-        recs = [np.asarray(r) for r in self.plan["recon_dev"]]
-        pre = [np.array(recs[0][:mh, :mw], np.int32)]
-        if self.nplanes > 1:
-            pre += [np.array(recs[i][: mh // 2, : mw // 2], np.int32)
-                    for i in (1, 2)]
         src = [self.srcp[0][:mh, :mw]]
         if self.nplanes > 1:
             src += [self.srcp[i][: mh // 2, : mw // 2] for i in (1, 2)]
-        info = deblock.DeblockInfo(mi_tx, mi_bsz, self.mi_skip,
-                                   np.zeros_like(self.mi_skip),
-                                   self.mi_rows, self.mi_cols)
 
-        def _mse(p, buf):
-            d = buf.astype(np.int64) - src[p]
-            return int((d * d).sum())
-
-        if self.cfg.search_lpf:
-            # brute-force a small ladder around the q-derived first guess
-            # (av1_pick_filter_level, av1/encoder/picklpf.c:247 analogue)
-            lf = fh.lf
-            guess = lf.filter_level[0]
-            cands = sorted({0, guess // 2, max(guess - 2, 0), guess,
-                            min(guess + 2, 63), min(guess * 2, 63)})
-
-            def eval_plane(p, setter):
-                best = None
-                for lvl in cands:
-                    setter(lvl)
-                    buf = pre[p].copy()
-                    deblock.loop_filter_plane(buf, p, info, fh, self.seq,
-                                              uv_tx_grid=mi_uv)
-                    e = _mse(p, buf)
-                    if best is None or e < best[0]:
-                        best = (e, lvl)
-                setter(best[1])
-
-            eval_plane(0, lambda v: setattr(lf, "filter_level", (v, v)))
+        if self.use_part:
+            # post-LPF recon already computed on device (_lpf_device)
+            recs = [np.asarray(r) for r in self.ref_planes_dev]
+            planes = [np.array(recs[0][:mh, :mw], np.int32)]
             if self.nplanes > 1:
-                if lf.filter_level == (0, 0):
-                    # chroma levels only codable with a nonzero luma level
-                    lf.filter_level_u = lf.filter_level_v = 0
-                else:
-                    eval_plane(1, lambda v: setattr(lf, "filter_level_u", v))
-                    eval_plane(2, lambda v: setattr(lf, "filter_level_v", v))
+                planes += [np.array(recs[i][: mh // 2, : mw // 2],
+                                    np.int32) for i in (1, 2)]
+        else:
+            # legacy host path (uniform small-frame grids): LPF ladder +
+            # filtering via the general host walker
+            mi_tx, mi_bsz, mi_uv = self._cdef_grids()
+            recs = [np.asarray(r) for r in self.plan["recon_dev"]]
+            pre = [np.array(recs[0][:mh, :mw], np.int32)]
+            if self.nplanes > 1:
+                pre += [np.array(recs[i][: mh // 2, : mw // 2], np.int32)
+                        for i in (1, 2)]
+            info = deblock.DeblockInfo(mi_tx, mi_bsz, self.mi_skip,
+                                       np.zeros_like(self.mi_skip),
+                                       self.mi_rows, self.mi_cols)
 
-        planes = [p.copy() for p in pre]
-        for p in range(self.nplanes):
-            deblock.loop_filter_plane(planes[p], p, info, fh, self.seq,
-                                      uv_tx_grid=mi_uv)
+            def _mse(p, buf):
+                d = buf.astype(np.int64) - src[p]
+                return int((d * d).sum())
+
+            if self.cfg.search_lpf:
+                # brute-force ladder around the q-derived first guess
+                # (av1_pick_filter_level, av1/encoder/picklpf.c:247)
+                lf = fh.lf
+                guess = lf.filter_level[0]
+                cands = sorted({0, guess // 2, max(guess - 2, 0), guess,
+                                min(guess + 2, 63), min(guess * 2, 63)})
+
+                def eval_plane(p, setter):
+                    best = None
+                    for lvl in cands:
+                        setter(lvl)
+                        buf = pre[p].copy()
+                        deblock.loop_filter_plane(buf, p, info, fh,
+                                                  self.seq,
+                                                  uv_tx_grid=mi_uv)
+                        e = _mse(p, buf)
+                        if best is None or e < best[0]:
+                            best = (e, lvl)
+                    setter(best[1])
+
+                eval_plane(0,
+                           lambda v: setattr(lf, "filter_level", (v, v)))
+                if self.nplanes > 1:
+                    if lf.filter_level == (0, 0):
+                        # chroma only codable with a nonzero luma level
+                        lf.filter_level_u = lf.filter_level_v = 0
+                    else:
+                        eval_plane(1, lambda v: setattr(
+                            lf, "filter_level_u", v))
+                        eval_plane(2, lambda v: setattr(
+                            lf, "filter_level_v", v))
+
+            planes = [p.copy() for p in pre]
+            for p in range(self.nplanes):
+                deblock.loop_filter_plane(planes[p], p, info, fh, self.seq,
+                                          uv_tx_grid=mi_uv)
         yp, ys, up_, us = cdef_ops.search_strengths(
             planes, src, self.mi_skip, self.mi_rows, self.mi_cols,
             fh.cdef.damping)
@@ -591,6 +673,7 @@ class TpuFrameEncoder:
         sp = plan["split32"].astype(bool)
         skip_blk = np.where(np.repeat(np.repeat(sp, 2, 0), 2, 1), skip16,
                             np.repeat(np.repeat(skip32, 2, 0), 2, 1))
+        self._last_skip_blk = skip_blk  # per-tile; stitched by encode()
         if mi_col_off == 0 and mi_cols_vis == self.mi_cols:
             self.mi_skip = np.repeat(
                 np.repeat(skip_blk.astype(np.int32), 4, 0),

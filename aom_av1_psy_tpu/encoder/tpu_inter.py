@@ -104,50 +104,40 @@ def _clamp_mv_q4(mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c, ss):
 # motion search
 # ----------------------------------------------------------------------
 def _fullpel_search(src16, ref, by, bx, crop_h, crop_w):
-    """src16 (B,16,16); block origins by/bx (B,). Coarse step-2 grid over
-    +/-SEARCH_RAD then +/-1 refine. Returns full-pel (dy, dx) (B,) each."""
+    """src16 (B,16,16); block origins by/bx (B,). EXACT exhaustive
+    step-1 SSD over +/-SEARCH_RAD as two MXU correlations:
+
+      SSD(d) = sum(win(d)^2) - 2*corr(win(d), src) + const
+
+    so the whole 33x33 offset grid per block is ONE grouped
+    ``lax.conv`` (cross-correlation) plus a windowed sum of squares —
+    the systolic-array expression of av1_full_pixel_search's exhaustive
+    mode. A coarse step-2 SAD grid (the previous design) undersamples
+    noisy content, whose SSD basin at the true MV is one pixel wide
+    (round-5 P-frame pathology). All values stay <= 255^2 * 256 < 2^24,
+    so the f32 accumulation is exact per term; the final difference may
+    round by <1 ulp which only reorders near-exact ties.
+    Returns full-pel (dy, dx) (B,) each."""
     B = src16.shape[0]
     r = SEARCH_RAD
     ys = jnp.clip(by[:, None] - r + jnp.arange(16 + 2 * r)[None, :], 0,
                   crop_h - 1)
     xs = jnp.clip(bx[:, None] - r + jnp.arange(16 + 2 * r)[None, :], 0,
                   crop_w - 1)
-    win = _gather_region(ref, ys, xs)             # (B, 48, 48)
-
-    # step-2 grid: every offset is STATIC, so the whole candidate grid is
-    # plain static slices that XLA fuses — no scan, no dynamic gather
-    # (dynamic-index gathers lower catastrophically on this backend)
-    step = 2
-    noffs = r + 1                                   # offsets 0,2,..,2r
-    sads = []
-    for dy in range(0, 2 * r + 1, step):
-        band = win[:, dy : dy + 16, :]
-        for dx in range(0, 2 * r + 1, step):
-            pat = band[:, :, dx : dx + 16]
-            sads.append(jnp.abs(pat - src16).sum((-1, -2)))
-    flat = jnp.stack(sads)                          # (n*n, B)
-    best = jnp.argmin(flat, axis=0)
-    offs = jnp.arange(0, 2 * r + 1, step, dtype=jnp.int32)
-    n = noffs
-    bdy = offs[best // n]
-    bdx = offs[best % n]
-
-    cands = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    sads = []
-    for dy, dx in cands:
-        yy = jnp.clip(bdy + dy, 0, 2 * r)
-        xx = jnp.clip(bdx + dx, 0, 2 * r)
-        pat = win[jnp.arange(B)[:, None, None],
-                  (yy[:, None] + jnp.arange(16)[None, :])[:, :, None],
-                  (xx[:, None] + jnp.arange(16)[None, :])[:, None, :]]
-        sads.append(jnp.abs(pat - src16).sum((-1, -2)))
-    sads = jnp.stack(sads)                                  # (9, B)
-    k = jnp.argmin(sads, axis=0)
-    bdy = jnp.clip(bdy + jnp.asarray([c[0] for c in cands], jnp.int32)[k],
-                   0, 2 * r)
-    bdx = jnp.clip(bdx + jnp.asarray([c[1] for c in cands], jnp.int32)[k],
-                   0, 2 * r)
-    return bdy - r, bdx - r
+    win = _gather_region(ref, ys, xs).astype(jnp.float32)   # (B, 48, 48)
+    k = src16.astype(jnp.float32)[:, None]                  # (B, 1, 16, 16)
+    corr = jax.lax.conv_general_dilated(
+        win[None], k, window_strides=(1, 1), padding="VALID",
+        feature_group_count=B)[0]                           # (B, 33, 33)
+    ones = jnp.ones((B, 1, 16, 16), jnp.float32)
+    sumsq = jax.lax.conv_general_dilated(
+        (win * win)[None], ones, window_strides=(1, 1), padding="VALID",
+        feature_group_count=B)[0]
+    score = sumsq - 2.0 * corr
+    n = 2 * r + 1
+    best = jnp.argmin(score.reshape(B, -1), axis=1)
+    return (best // n).astype(jnp.int32) - r, \
+        (best % n).astype(jnp.int32) - r
 
 
 def _subpel_refine(src16, ref, by, bx, mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c,
@@ -170,6 +160,9 @@ def _subpel_refine(src16, ref, by, bx, mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c,
         mv8_r = mv8_r + jnp.asarray(drs, jnp.int32)[k]
         mv8_c = mv8_c + jnp.asarray(dcs, jnp.int32)[k]
     return mv8_r, mv8_c
+
+
+RATE_ZEROMV = 1024.0     # ~2 bits: the GLOBALMV-class mode cost
 
 
 def _mv_rate_proxy(mv8_r, mv8_c):
@@ -207,21 +200,58 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     mv8_r, mv8_c = _subpel_refine(s16, ref, gy, gx, mv8_r, mv8_c,
                                   lo_r, hi_r, lo_c, hi_c, crop_h, crop_w,
                                   kernels)
-    # zero-MV bias: prefer 0 when nearly as good (GLOBALMV is cheap)
+    # ---- dominant-MV candidate (crude global motion) ----
+    # The reference's search is anchored by neighbour MV prediction, which
+    # propagates a pan through low-texture regions; an independent
+    # per-block search instead locks onto noise there. The batched
+    # analogue: texture-confident blocks vote their full-pel MV into a
+    # histogram, and the winning MV becomes a per-block candidate
+    # (av1_compute_global_motion's role, flat-fast).
+    rdf16 = rd16.reshape(-1)
     qr, qc = _clamp_mv_q4(mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c, 0)
     pred16 = _mc_blocks(ref, gy, gx, qr, qc, 16, crop_h, crop_w, kernels)
-    sad_best = jnp.abs(pred16 - s16).sum((-1, -2))
+    sse_srch = ((pred16 - s16) ** 2).sum((-1, -2)).astype(jnp.float32)
     z = jnp.zeros_like(mv8_r)
     zqr, zqc = _clamp_mv_q4(z, z, lo_r, hi_r, lo_c, hi_c, 0)
     pred0 = _mc_blocks(ref, gy, gx, zqr, zqc, 16, crop_h, crop_w, kernels)
     sad0 = jnp.abs(pred0 - s16).sum((-1, -2))
-    use0 = sad0 <= sad_best + 3 * 256
-    mv8_r = jnp.where(use0, 0, mv8_r)
-    mv8_c = jnp.where(use0, 0, mv8_c)
-    pred16 = jnp.where(use0[:, None, None], pred0, pred16)
+    sad_srch = jnp.abs(pred16 - s16).sum((-1, -2))
+    conf = jnp.maximum(sad0 - sad_srch, 0)
+    fr = jnp.clip((mv8_r + 4 * jnp.sign(mv8_r)) // 8, -SEARCH_RAD,
+                  SEARCH_RAD)
+    fc_ = jnp.clip((mv8_c + 4 * jnp.sign(mv8_c)) // 8, -SEARCH_RAD,
+                   SEARCH_RAD)
+    nbin = 2 * SEARCH_RAD + 1
+    bins = (fr + SEARCH_RAD) * nbin + (fc_ + SEARCH_RAD)
+    votes = jnp.zeros((nbin * nbin,), jnp.int32).at[bins].add(conf)
+    gbin = jnp.argmax(votes)
+    g_r = 8 * (gbin // nbin - SEARCH_RAD).astype(jnp.int32)
+    g_c = 8 * (gbin % nbin - SEARCH_RAD).astype(jnp.int32)
+    gv_r = jnp.full((B,), g_r)
+    gv_c = jnp.full((B,), g_c)
+    gv_r, gv_c = _subpel_refine(s16, ref, gy, gx, gv_r, gv_c,
+                                lo_r, hi_r, lo_c, hi_c, crop_h, crop_w,
+                                kernels)
+    gqr, gqc = _clamp_mv_q4(gv_r, gv_c, lo_r, hi_r, lo_c, hi_c, 0)
+    predg = _mc_blocks(ref, gy, gx, gqr, gqc, 16, crop_h, crop_w, kernels)
+    sse_g = ((predg - s16) ** 2).sum((-1, -2)).astype(jnp.float32)
+    sse0 = ((pred0 - s16) ** 2).sum((-1, -2)).astype(jnp.float32)
+
+    # pick {searched, dominant, zero} in the RD domain: a flat SAD slack
+    # mis-fires on noisy content (noise hides a large SSE gap behind a
+    # small SAD gap), so the costs are SSE + lambda * mv-rate
+    lam = rdf16 / 512.0
+    rd_srch = 2048.0 * sse_srch + lam * _mv_rate_proxy(mv8_r, mv8_c)
+    rd_g = 2048.0 * sse_g + lam * _mv_rate_proxy(gv_r, gv_c)
+    rd_0 = 2048.0 * sse0 + lam * RATE_ZEROMV
+    choice = jnp.argmin(jnp.stack([rd_srch, rd_g, rd_0]), axis=0)
+    mv8_r = jnp.where(choice == 1, gv_r, jnp.where(choice == 2, 0, mv8_r))
+    mv8_c = jnp.where(choice == 1, gv_c, jnp.where(choice == 2, 0, mv8_c))
+    pred16 = jnp.where((choice == 1)[:, None, None], predg,
+                       jnp.where((choice == 2)[:, None, None], pred0,
+                                 pred16))
 
     # ---- 16 TQ + skip-RD ----
-    rdf16 = rd16.reshape(-1)
     lv16, e16, rec16 = _tq_recon(s16, pred16, dc_q, ac_q, tx16, scan16)
     lv16, e16, rec16, sse16, crate16 = _skip_rd(
         lv16, e16, rec16, pred16, s16, rdf16, alpha, beta)
@@ -244,14 +274,17 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
                  mvc2[:, qr_, :, qc_].reshape(-1))
                 for qr_ in (0, 1) for qc_ in (0, 1)]
     cand_mvs.append((jnp.zeros(Bc, jnp.int32), jnp.zeros(Bc, jnp.int32)))
-    sads, preds = [], []
-    for mr, mc in cand_mvs:
+    rdf32 = rd32.reshape(-1)
+    rds, preds = [], []
+    for ci, (mr, mc) in enumerate(cand_mvs):
         qr, qc = _clamp_mv_q4(mr, mc, *lo32, 0)
         p = _mc_blocks(ref, cy, cx, qr, qc, 32, crop_h, crop_w, kernels)
         preds.append(p)
-        sads.append(jnp.abs(p - s32).sum((-1, -2)))
-    sads = jnp.stack(sads)
-    k32 = jnp.argmin(sads, axis=0)
+        sse = ((p - s32) ** 2).sum((-1, -2)).astype(jnp.float32)
+        mvr = RATE_ZEROMV if ci == len(cand_mvs) - 1 \
+            else _mv_rate_proxy(mr, mc)
+        rds.append(2048.0 * sse + (rdf32 / 512.0) * mvr)
+    k32 = jnp.argmin(jnp.stack(rds), axis=0)
     pred32 = jnp.take_along_axis(
         jnp.stack(preds), k32[None, :, None, None], axis=0)[0]
     mv32_r = jnp.take_along_axis(
@@ -259,7 +292,6 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     mv32_c = jnp.take_along_axis(
         jnp.stack([m[1] for m in cand_mvs]), k32[None], 0)[0]
 
-    rdf32 = rd32.reshape(-1)
     lv32, e32, rec32 = _tq_recon(s32, pred32, dc_q, ac_q, tx32, scan32)
     lv32, e32, rec32, sse32, crate32 = _skip_rd(
         lv32, e32, rec32, pred32, s32, rdf32, alpha, beta)

@@ -72,7 +72,7 @@ class TpuInterFrameEncoder:
     plan + symbol-script pack."""
 
     def __init__(self, frame: Frame, cfg: EncoderConfig, seq, ref_planes_dev,
-                 crop_w: int, crop_h: int, zero_lpf: bool = True,
+                 crop_w: int, crop_h: int, zero_lpf: bool = False,
                  prev_fc=None):
         if not available():
             raise RuntimeError("TPU path requires the native EC library")
@@ -85,9 +85,10 @@ class TpuInterFrameEncoder:
         # counters reset (av1_reset_cdf_symbol_counters), as the decoder
         # does when saving a frame context.
         self.prev_fc = prev_fc
-        # the plan recon (pre-LPF) is the next frame's reference; until the
-        # loop filter runs on device, in-loop filtering must be off or the
-        # encoder would drift from the decoder's post-LPF references
+        # with the loop filter running on device (ops/deblock_jax.py) the
+        # reference chain is post-LPF exactly like the decoder's
+        # (av1/encoder/encoder.c:2366 pipeline position); zero_lpf=True
+        # restores the legacy pre-LPF/lf=0 behavior
         self.zero_lpf = zero_lpf
         self.cfg = cfg
         self.src = frame
@@ -182,6 +183,10 @@ class TpuInterFrameEncoder:
             self.crop_h)
         t1 = time.perf_counter()
         self.plan = plan
+        if not self.zero_lpf:
+            self._lpf_device(fh)
+        else:
+            self.ref_planes_out = list(plan["recon_dev"])
         tile_data = self._pack_script(plan, fc, fh)
         # end-of-frame context save (decoder/obu.py:_update_ref_slots):
         # the script adapted fc's tables in place; reset the per-row
@@ -197,6 +202,31 @@ class TpuInterFrameEncoder:
         td = bytes([0x12, 0x00])
         return td + bytes([0x32]) + write_leb128(len(frame_payload)) \
             + frame_payload
+
+    # ------------------------------------------------------------------
+    def _lpf_device(self, fh) -> None:
+        """Pick + apply the loop filter on device for this inter frame
+        (ops/deblock_jax.py): ladder around the inter first guess, sets
+        ``fh.lf``, and keeps ``self.ref_planes_out`` = the post-LPF recon
+        that the NEXT frame references (matching the decoder's reference
+        state bit-exactly)."""
+        import jax.numpy as jnp
+        from ..ops import deblock_jax as DJ
+        sp = self.plan["split32"].astype(bool)
+        split16 = jnp.asarray(np.repeat(np.repeat(sp, 2, 0), 2, 1))
+        w, h = self.mi_cols * 4, self.mi_rows * 4
+        g = fh.lf.filter_level[0]
+        cands = np.array([0, g // 2, max(g - 2, 0), g,
+                          min(g + 2, 63), min(g * 2, 63)], np.int32)
+        recs = tuple(self.plan["recon_dev"][: self.nplanes])
+        srcs = tuple(jnp.asarray(p) for p in self.srcp[: self.nplanes])
+        levels, outs = DJ.lpf_pick_and_filter(
+            recs, srcs, split16, cands, w=w, h=h, nplanes=self.nplanes)
+        lv = [int(x) for x in np.asarray(levels)]
+        fh.lf.filter_level = (lv[0], lv[0])
+        fh.lf.filter_level_u = lv[1]
+        fh.lf.filter_level_v = lv[2]
+        self.ref_planes_out = list(outs)
 
     # ------------------------------------------------------------------
     def _pack_script(self, plan, fc, fh) -> bytes:
@@ -582,13 +612,32 @@ class TpuInterFrameEncoder:
                 op((0, base_id + FP, 0, fr, 4))
 
 
+def _ref_chain_planes(enc):
+    """The post-LPF reference planes an encoded frame leaves behind
+    (== the decoder's reference buffer state for that frame)."""
+    out = getattr(enc, "ref_planes_out", None)   # inter frames
+    if out is None:
+        out = getattr(enc, "ref_planes_dev", None)  # KEY, partition path
+    if out is None:
+        out = enc.plan["recon_dev"]              # uniform-grid fallback
+    return out
+
+
 def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
-                     key_interval: int = 0, forward_cdf: bool = True):
+                     key_interval: int = 0, forward_cdf: bool = True,
+                     kf_q_offset: int = 60):
     """Fused-path GOP driver: TPU KEY frame + TPU inter frames on a LAST
     recon chain (IPPP). With ``forward_cdf`` (default), every inter frame
     inherits the previous frame's end-of-frame entropy state via
     primary_ref_frame instead of resetting to defaults (backward
-    adaptation, av1/common/entropymode.h:71). Returns (packets, encs)."""
+    adaptation, av1/common/entropymode.h:71).
+
+    ``kf_q_offset``: KEY frames encode at base_q_idx - offset (floor 8) —
+    the fixed-q analogue of the reference's keyframe boost
+    (av1/encoder/ratectrl.c kf_boost / get_kf_active_quality): a better
+    KEY costs a fraction of what every P-frame saves by referencing it.
+    Returns (packets, encs)."""
+    import dataclasses
     from .tpu_frame import TpuFrameEncoder
     from ..bitstream.containers import write_ivf
     packets = []
@@ -596,24 +645,26 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
     ref_dev = None
     seq = None
     prev_fc = None
+    kf_cfg = dataclasses.replace(
+        cfg, base_q_idx=max(8, cfg.base_q_idx - kf_q_offset)) \
+        if kf_q_offset else cfg
     for i, frame in enumerate(frames):
         is_key = i == 0 or (key_interval > 0 and i % key_interval == 0)
         if is_key:
-            enc = TpuFrameEncoder(frame, cfg)
+            enc = TpuFrameEncoder(frame, kf_cfg)
             if len(frames) > 1:
-                # GOP: KEY recon is a reference; keep in-loop filter off
-                # until LPF runs on the device recon (drift otherwise)
+                # GOP: the reference chain is the decoder's post-LPF
+                # recon (device LPF); CDEF stays off — the encoder does
+                # not yet apply CDEF on device, so a CDEF'd reference
+                # would drift
                 orig = enc.make_headers
 
-                def _nolpf(_orig=orig):
+                def _nocdef(_orig=orig):
                     seq_, fh_ = _orig()
-                    fh_.lf.filter_level = (0, 0)
-                    fh_.lf.filter_level_u = 0
-                    fh_.lf.filter_level_v = 0
-                    seq_.enable_cdef = False   # ref recon must stay pre-CDEF
+                    seq_.enable_cdef = False
                     return seq_, fh_
 
-                enc.make_headers = _nolpf
+                enc.make_headers = _nocdef
             packets.append(enc.encode(include_seq=(i == 0)))
             seq = enc.seq
         else:
@@ -622,7 +673,11 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
                                        prev_fc=prev_fc)
             packets.append(enc.encode())
         encs.append(enc)
-        ref_dev = enc.plan["recon_dev"]
+        # post-LPF references: inter encoders expose ref_planes_out
+        # (ref_planes_dev is their INPUT refs); KEY encoders expose
+        # ref_planes_dev on the partition path, else fall back to the
+        # pre-LPF plan recon (tiny uniform-grid frames, lf=0 there)
+        ref_dev = _ref_chain_planes(enc)
         prev_fc = enc.saved_fc if forward_cdf else None
     if path is not None:
         write_ivf(path, packets, frames[0].width, frames[0].height)
@@ -721,15 +776,12 @@ def encode_video_tpu_rc(frames, target_bps: float, fps: float = 30.0,
             if n > 1:
                 orig = enc.make_headers
 
-                def _nolpf(_orig=orig):
+                def _nocdef(_orig=orig):
                     seq_, fh_ = _orig()
-                    fh_.lf.filter_level = (0, 0)
-                    fh_.lf.filter_level_u = 0
-                    fh_.lf.filter_level_v = 0
-                    seq_.enable_cdef = False   # ref recon must stay pre-CDEF
+                    seq_.enable_cdef = False   # no device CDEF on refs yet
                     return seq_, fh_
 
-                enc.make_headers = _nolpf
+                enc.make_headers = _nocdef
             pkt = enc.encode(include_seq=(i == 0))
             seq = enc.seq
         else:
@@ -744,7 +796,7 @@ def encode_video_tpu_rc(frames, target_bps: float, fps: float = 30.0,
         packets.append(pkt)
         encs.append(enc)
         qs.append(q)
-        ref_dev = enc.plan["recon_dev"]
+        ref_dev = _ref_chain_planes(enc)
         prev_fc = enc.saved_fc
     if path is not None:
         write_ivf(path, packets, frames[0].width, frames[0].height)

@@ -220,16 +220,6 @@ def test_tpu_directional_modes_closed_loop(tmp_path, q):
     w, h = 176, 144
     f = make_diag_frame(w, h)
     enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=q))
-    orig = enc.make_headers
-
-    def _nolpf():
-        seq_, fh_ = orig()
-        fh_.lf.filter_level = (0, 0)
-        fh_.lf.filter_level_u = 0
-        fh_.lf.filter_level_v = 0
-        return seq_, fh_
-
-    enc.make_headers = _nolpf
     data = enc.encode()
     ndir = int(((enc.plan["y_mode32"] >= 3) & (enc.plan["y_mode32"] <= 8))
                .sum()) + \
@@ -249,7 +239,9 @@ def test_tpu_directional_modes_closed_loop(tmp_path, q):
     dy = buf[: w * h].reshape(h, w).astype(np.int32)
     du = buf[w * h : w * h + cw * ch].reshape(ch, cw).astype(np.int32)
     dv = buf[w * h + cw * ch :].reshape(ch, cw).astype(np.int32)
-    rec = [np.asarray(x) for x in enc.plan["recon_dev"]]
+    # decoder output is post-LPF: compare the device-filtered reference
+    # planes (the closed-loop recon incl. the on-device loop filter)
+    rec = [np.asarray(x) for x in enc.ref_planes_dev]
     assert np.array_equal(rec[0][:h, :w], dy)
     assert np.array_equal(rec[1][:ch, :cw], du)
     assert np.array_equal(rec[2][:ch, :cw], dv)

@@ -50,7 +50,11 @@ def test_tpu_inter_closed_loop(w, h, q):
     dec = _decode_all(packets)
     assert len(dec) == len(frames)
     for i, f in enumerate(dec):
-        rec = [np.asarray(r) for r in encs[i].plan["recon_dev"]]
+        # decoder output is post-LPF: it must equal the encoder's
+        # reference-chain planes (device LPF applied), not the raw
+        # plan recon
+        from aom_av1_psy_tpu.encoder.tpu_interframe import _ref_chain_planes
+        rec = [np.asarray(r) for r in _ref_chain_planes(encs[i])]
         for pi, d_ in enumerate((f.y, f.u, f.v)):
             d_ = d_.astype(np.int32)
             np.testing.assert_array_equal(
@@ -113,8 +117,9 @@ def test_cdf_forwarding_bits_win():
     assert encs[2].fh.primary_ref_frame == 0
     assert not encs[2].fh.disable_frame_end_update_cdf
     dec = _decode_all(pk_fwd)
+    from aom_av1_psy_tpu.encoder.tpu_interframe import _ref_chain_planes
     for i, f in enumerate(dec):
-        rec = [np.asarray(r) for r in encs[i].plan["recon_dev"]]
+        rec = [np.asarray(r) for r in _ref_chain_planes(encs[i])]
         for pi, d_ in enumerate((f.y, f.u, f.v)):
             d_ = d_.astype(np.int32)
             np.testing.assert_array_equal(
@@ -166,3 +171,31 @@ def test_rate_control_hits_target():
     assert len(dec) == n
     # q must actually adapt (not stay pinned at start_q)
     assert len(set(qs)) > 1, qs
+
+
+def test_inter_pan_noise_efficiency():
+    """A noisy global pan must be coded by motion, not residuals: the
+    exact SSD full-pel search + dominant-MV candidate must find the pan
+    everywhere (the step-2 SAD grid was blind to odd offsets on noise and
+    sent most blocks to junk MVs with dense residuals — round 5). P-frames
+    must be a small fraction of the KEY's bytes at near-reference quality."""
+    rng = np.random.default_rng(21)
+    w, h = 176, 144
+    pad = 48
+    bg = (110 + 45 * np.sin(np.arange(w + pad) / 37.0)[None, :]
+          * np.cos(np.arange(h + pad) / 29.0)[:, None]
+          + rng.normal(0, 6, (h + pad, w + pad))).astype(np.float32)
+    frames = []
+    for i in range(3):
+        y = np.clip(bg[2 * i : 2 * i + h, 3 * i : 3 * i + w], 0,
+                    255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 135, np.uint8)
+        frames.append(Frame(y, u, v))
+    packets, encs = encode_video_tpu(frames, EncoderConfig(base_q_idx=96))
+    key_b, p_b = len(packets[0]), max(len(p) for p in packets[1:])
+    assert p_b < 0.2 * key_b, (p_b, key_b)
+    # the dominant pan (dy=2, dx=3 full-pel => mv8 (16, 24)) must carry
+    mv = encs[1].plan["mv8"].reshape(-1, 2)
+    frac = (np.abs(mv - np.array([16, 24])) <= 8).all(1).mean()
+    assert frac > 0.7, frac
