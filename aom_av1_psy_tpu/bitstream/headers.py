@@ -1003,6 +1003,13 @@ def write_film_grain_params(w: BitWriter, seq: SequenceHeader,
 def write_frame_header(w: BitWriter, seq: SequenceHeader,
                        fh: FrameHeader) -> None:
     if not seq.reduced_still_picture_header:
+        if fh.show_existing_frame:
+            # display a previously-coded showable frame (ARF display
+            # position, spec 5.9.2; no frame-id numbers / film grain in
+            # our sequence headers, so the header is just the map idx)
+            w.f(1, 1)
+            w.f(fh.frame_to_show_map_idx, 3)
+            return
         w.f(0, 1)  # show_existing_frame
         w.f(fh.frame_type, 2)
         w.f(int(fh.show_frame), 1)

@@ -137,9 +137,7 @@ def temporal_filter_frames(frames, center_idx: int, q_factor: int,
                         planes_f[0][ys:ye, xs:xe]
                     mv, sad = MV.full_pel_grid_search(src, win, rad)
                     dy_, dx_ = int(mv[0, 0]), int(mv[0, 1])
-                    mse = int(sad[0]) * 256 // max(h * w, 1)
                     mvs = np.tile(np.array([[dy_ * 8, dx_ * 8]]), (4, 1))
-                    mses = np.full(4, mse, np.int64)
                     pred_blocks = []
                     for pl in range(3):
                         sy = ss_y if pl else 0
@@ -151,6 +149,17 @@ def temporal_filter_frames(frames, center_idx: int, q_factor: int,
                         pred_blocks.append(
                             planes_f[pl][py0 : py0 + (h >> sy),
                                          px0 : px0 + (w >> sx)])
+                    # per-subblock MSE of the chosen prediction
+                    # (tf_motion_search fills real subblock_mses; a
+                    # SAD-derived scale inflates block_error ~10x and
+                    # clamps every weight to zero)
+                    dsq = (pred_blocks[0] - src[0]) ** 2
+                    hh, hw = max(h // 2, 1), max(w // 2, 1)
+                    mses = np.zeros(4, np.int64)
+                    for si, (r0_, c0_) in enumerate(
+                            ((0, 0), (0, hw), (hh, 0), (hh, hw))):
+                        sub = dsq[r0_ : r0_ + hh, c0_ : c0_ + hw]
+                        mses[si] = int(sub.sum()) // max(sub.size, 1)
                 ref_blocks = []
                 acc_blocks = []
                 cnt_blocks = []
@@ -170,3 +179,55 @@ def temporal_filter_frames(frames, center_idx: int, q_factor: int,
         c = np.maximum(count[pl], 1)
         out.append(((accum[pl] + (c >> 1)) // c).clip(0, 255).astype(np.uint8))
     return out
+
+
+def estimate_noise_level(plane: np.ndarray, edge_thresh: int = 50,
+                         bd: int = 8) -> float:
+    """av1_estimate_noise_from_single_plane (temporal_filter.c:1150):
+    mean |Laplacian| over Sobel-smooth pixels * sqrt(pi/2)/6, vectorized.
+    Returns -1.0 when too few smooth pixels (unreliable)."""
+    m = plane.astype(np.int64)
+    c = m[1:-1, 1:-1]
+    tl, t, tr = m[:-2, :-2], m[:-2, 1:-1], m[:-2, 2:]
+    l, r = m[1:-1, :-2], m[1:-1, 2:]
+    bl, b, br = m[2:, :-2], m[2:, 1:-1], m[2:, 2:]
+    gx = (tl - tr) + (bl - br) + 2 * (l - r)
+    gy = (tl - bl) + (tr - br) + 2 * (t - b)
+    ga = np.abs(gx) + np.abs(gy)
+    if bd > 8:
+        ga = (ga + (1 << (bd - 9))) >> (bd - 8)
+    smooth = ga < edge_thresh
+    lap = np.abs(4 * c - 2 * (t + b + l + r) + (tl + tr + bl + br))
+    if bd > 8:
+        lap = (lap + (1 << (bd - 9))) >> (bd - 8)
+    cnt = int(smooth.sum())
+    if cnt < 16:
+        return -1.0
+    return float(lap[smooth].sum()) / (6 * cnt) * 1.25331413732
+
+
+def filter_key_frame(frames, idx: int, q_kf: int, n_lookahead: int = 2,
+                     strength: int = 1):
+    """KEY-frame temporal filtering (enable_keyframe_filtering semantics):
+    filter frames[idx] against up to ``n_lookahead`` FUTURE frames with
+    the golden-tested kernel; strength defaults to 1 per the reference's
+    KF rule (temporal_filter.c:833-841; psy tuning uses 2 for non-KF,
+    :815-831). Returns a new Frame (or the original when there is no
+    future frame / estimation says the content is clean and static).
+
+    q_kf is the KEY frame's base_q_idx; the kernel's q_factor is the
+    real-valued quantizer step (av1_get_q analogue: ac_quant/4).
+    """
+    from ..utils.frame import Frame
+    from ..normative import tables
+    span = [frames[j] for j in range(idx, min(idx + 1 + n_lookahead,
+                                              len(frames)))]
+    if len(span) < 2:
+        return frames[idx]
+    planes_list = [list(f.planes()) for f in span]
+    noise = [max(estimate_noise_level(p), 0.0)
+             for p in frames[idx].planes()]
+    q_factor = max(1, tables.ac_quant(max(q_kf, 1)) // 4)
+    y, u, v = temporal_filter_frames(planes_list, 0, q_factor, strength,
+                                     noise_levels=tuple(noise))
+    return Frame(y, u, v)

@@ -73,7 +73,8 @@ class TpuInterFrameEncoder:
 
     def __init__(self, frame: Frame, cfg: EncoderConfig, seq, ref_planes_dev,
                  crop_w: int, crop_h: int, zero_lpf: bool = False,
-                 prev_fc=None):
+                 prev_fc=None, ref_slot: int = 0, refresh_flags: int = 0xFF,
+                 show: bool = True, primary_ref: int = 0):
         if not available():
             raise RuntimeError("TPU path requires the native EC library")
         _warm_transfer()
@@ -108,6 +109,14 @@ class TpuInterFrameEncoder:
                                             ph32 // 2, pw32 // 2))
         self.ref_planes_dev = ref_planes_dev
         self.crop_w, self.crop_h = crop_w, crop_h
+        # slot plumbing (ARF group structure): which ref slot LAST maps
+        # to, which slots this frame refreshes, whether it is displayed
+        # now (ARFs are coded showable but not shown), and which slot's
+        # saved CDFs primary_ref_frame points at when prev_fc is given
+        self.ref_slot = ref_slot
+        self.refresh_flags = refresh_flags
+        self.show = show
+        self.primary_ref = primary_ref
         from ..ec import costs as EC_costs
         self.rdmult = EC_costs.compute_rd_mult(cfg.base_q_idx,
                                                frame_type_kf=False)
@@ -134,15 +143,16 @@ class TpuInterFrameEncoder:
         fh = FrameHeader(width=self.w, height=self.h,
                          render_width=self.w, render_height=self.h)
         fh.frame_type = 1
-        fh.show_frame = True
+        fh.show_frame = self.show
         fh.showable_frame = True
         fh.error_resilient_mode = False
         if self.prev_fc is not None:
-            fh.primary_ref_frame = 0      # inherit LAST's saved CDFs
+            # inherit the saved CDFs of the primary ref's slot
+            fh.primary_ref_frame = self.primary_ref
         else:
             fh.primary_ref_frame = 7      # PRIMARY_REF_NONE (CDF reset)
-        fh.refresh_frame_flags = 0xFF
-        fh.ref_frame_idx = [0] * 7
+        fh.refresh_frame_flags = self.refresh_flags
+        fh.ref_frame_idx = [self.ref_slot] * 7
         fh.allow_high_precision_mv = False
         fh.is_filter_switchable = False
         fh.interp_filter = 0
@@ -625,7 +635,7 @@ def _ref_chain_planes(enc):
 
 def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
                      key_interval: int = 0, forward_cdf: bool = True,
-                     kf_q_offset: int = 60):
+                     kf_q_offset: int = 60, tf_key: bool = True):
     """Fused-path GOP driver: TPU KEY frame + TPU inter frames on a LAST
     recon chain (IPPP). With ``forward_cdf`` (default), every inter frame
     inherits the previous frame's end-of-frame entropy state via
@@ -651,6 +661,12 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
     for i, frame in enumerate(frames):
         is_key = i == 0 or (key_interval > 0 and i % key_interval == 0)
         if is_key:
+            if tf_key and len(frames) > 1:
+                # multi-frame KEY denoise (enable_keyframe_filtering):
+                # a temporally filtered KEY is a cleaner reference for
+                # the whole GOP (temporal_filter.c:833-841, strength 1)
+                from . import temporal_filter as TF
+                frame = TF.filter_key_frame(frames, i, kf_cfg.base_q_idx)
             enc = TpuFrameEncoder(frame, kf_cfg)
             if len(frames) > 1:
                 # GOP: the reference chain is the decoder's post-LPF
@@ -681,6 +697,117 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
         prev_fc = enc.saved_fc if forward_cdf else None
     if path is not None:
         write_ivf(path, packets, frames[0].width, frames[0].height)
+    return packets, encs
+
+
+def encode_video_tpu_arf(frames, cfg: EncoderConfig, path: str | None = None,
+                         group: int = 4, kf_q_offset: int = 60,
+                         arf_q_offset: int = 48, tf_strength: int = 2,
+                         forward_cdf: bool = True):
+    """ARF star-group GOP on the fused TPU path (depth-1 pyramid,
+    av1/encoder/gop_structure.c + encode_strategy.c:718 analogue).
+
+    Per group of ``group`` display frames: the LAST frame of the group is
+    temporally filtered (encoder/temporal_filter.py, the psy
+    strength-2 rule of temporal_filter.c:815-831), coded as a non-shown
+    showable ALTREF at base_q_idx - arf_q_offset, and every middle frame
+    references the ARF (a star: drift-free, mutually independent — the
+    FPMT-friendly shape). The ARF's display position is a
+    show_existing_frame header. Returns (packets, encs) — ``encs`` has
+    one entry per PACKET (None for show_existing packets).
+    """
+    import dataclasses
+    from .tpu_frame import TpuFrameEncoder
+    from . import temporal_filter as TF
+    from ..bitstream.containers import write_ivf
+    from ..bitstream.headers import FrameHeader
+
+    T = len(frames)
+    kf_cfg = dataclasses.replace(
+        cfg, base_q_idx=max(8, cfg.base_q_idx - kf_q_offset))
+    arf_cfg = dataclasses.replace(
+        cfg, base_q_idx=max(8, cfg.base_q_idx - arf_q_offset))
+    packets, encs = [], []
+
+    # KEY
+    key = TpuFrameEncoder(
+        TF.filter_key_frame(frames, 0, kf_cfg.base_q_idx) if T > 1
+        else frames[0], kf_cfg)
+    orig = key.make_headers
+
+    def _nocdef(_orig=orig):
+        seq_, fh_ = _orig()
+        seq_.enable_cdef = False   # no device CDEF on refs yet
+        return seq_, fh_
+
+    key.make_headers = _nocdef
+    packets.append(key.encode(include_seq=True))
+    encs.append(key)
+    seq = key.seq
+    cur_slot = 0                       # slot holding the last DISPLAYED recon
+    slot_planes = {0: _ref_chain_planes(key), 1: _ref_chain_planes(key)}
+    slot_fc = {0: key.saved_fc, 1: key.saved_fc}
+
+    w0, h0 = frames[0].width, frames[0].height
+    s_idx = 1
+    while s_idx < T:
+        e_idx = min(s_idx + group, T)
+        n_mid = e_idx - 1 - s_idx
+        arf_slot = 1 - cur_slot
+
+        # ---- ARF: temporally filtered group-end frame, non-shown ----
+        center = e_idx - 1
+        span = frames[max(s_idx, center - 2) : min(T, center + 3)]
+        c_rel = center - max(s_idx, center - 2)
+        if len(span) >= 2:
+            planes_list = [list(f.planes()) for f in span]
+            noise = [max(TF.estimate_noise_level(pl), 0.0)
+                     for pl in frames[center].planes()]
+            # q_factor at the GROUP's quality level (av1_get_q analogue):
+            # the boosted ARF q would put q_decay near zero and disable
+            # the filter entirely
+            qf = max(1, tables.ac_quant(max(cfg.base_q_idx, 1)) // 4)
+            y, u, v = TF.temporal_filter_frames(
+                planes_list, c_rel, qf, tf_strength,
+                noise_levels=tuple(noise))
+            arf_src = Frame(y, u, v)
+        else:
+            arf_src = frames[center]
+        enc_arf = TpuInterFrameEncoder(
+            arf_src, arf_cfg, seq, slot_planes[cur_slot], w0, h0,
+            prev_fc=slot_fc[cur_slot] if forward_cdf else None,
+            ref_slot=cur_slot, refresh_flags=1 << arf_slot, show=False)
+        packets.append(enc_arf.encode())
+        encs.append(enc_arf)
+        slot_planes[arf_slot] = _ref_chain_planes(enc_arf)
+        slot_fc[arf_slot] = enc_arf.saved_fc
+
+        # ---- middles: star-reference the ARF, refresh nothing ----
+        for i in range(s_idx, e_idx - 1):
+            enc_p = TpuInterFrameEncoder(
+                frames[i], cfg, seq, slot_planes[arf_slot], w0, h0,
+                prev_fc=slot_fc[arf_slot] if forward_cdf else None,
+                ref_slot=arf_slot, refresh_flags=0, show=True)
+            packets.append(enc_p.encode())
+            encs.append(enc_p)
+
+        # ---- ARF display position: show_existing_frame ----
+        fh_se = FrameHeader(width=w0, height=h0)
+        fh_se.show_existing_frame = True
+        fh_se.frame_to_show_map_idx = arf_slot
+        w = BitWriter()
+        write_frame_header(w, seq, fh_se)
+        w.trailing_bits()
+        payload = w.data()
+        pkt = bytes([0x12, 0x00]) + bytes([0x1A]) \
+            + write_leb128(len(payload)) + payload
+        packets.append(pkt)
+        encs.append(None)
+
+        cur_slot = arf_slot
+        s_idx = e_idx
+    if path is not None:
+        write_ivf(path, packets, w0, h0)
     return packets, encs
 
 

@@ -199,3 +199,61 @@ def test_inter_pan_noise_efficiency():
     mv = encs[1].plan["mv8"].reshape(-1, 2)
     frac = (np.abs(mv - np.array([16, 24])) <= 8).all(1).mean()
     assert frac > 0.7, frac
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC), reason="aomdec oracle absent")
+def test_arf_star_gop_conformance(tmp_path):
+    """ARF star group (encode_video_tpu_arf): non-shown temporally
+    filtered ALTREF + star-referencing middles + show_existing display
+    position. Streams must decode identically through aomdec and our
+    decoder, with the right display-frame count and order."""
+    from aom_av1_psy_tpu.encoder.tpu_interframe import encode_video_tpu_arf
+    w, h = 112, 80
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 100 + 50 * np.sin(xx / 17.0) * np.cos(yy / 13.0)
+    frames = []
+    for i in range(6):
+        y = np.clip(base + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 118, np.uint8)
+        v = np.full((h // 2, w // 2), 132, np.uint8)
+        frames.append(Frame(y, u, v))
+    packets, encs = encode_video_tpu_arf(
+        frames, EncoderConfig(base_q_idx=100), group=5)
+    # one KEY + ARF + middles + show_existing
+    assert encs[-1] is None and not encs[1].show
+    path = str(tmp_path / "arf.ivf")
+    raw = str(tmp_path / "arf.yuv")
+    write_ivf(path, packets, w, h)
+    r = subprocess.run([AOMDEC, "--rawvideo", "-o", raw, path],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref = np.fromfile(raw, np.uint8)
+    dec = _decode_all(packets)
+    assert len(dec) == len(frames)
+    ours = np.concatenate([np.concatenate([f.y.ravel(), f.u.ravel(),
+                                           f.v.ravel()]) for f in dec])
+    assert ref.size == ours.size and np.array_equal(ref, ours)
+
+
+def test_temporal_filter_consumed_by_arf():
+    """On temporally-noisy content the strength-2 TF (psy rule) must
+    shrink the ARF's coded size vs an unfiltered ARF — the filter is
+    consumed by the GOP structure, not just golden-tested."""
+    from aom_av1_psy_tpu.encoder.tpu_interframe import encode_video_tpu_arf
+    w, h = 112, 80
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 100 + 50 * np.sin(xx / 19.0) * np.cos(yy / 23.0)
+    frames = []
+    for i in range(5):
+        y = np.clip(base + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 118, np.uint8)
+        v = np.full((h // 2, w // 2), 132, np.uint8)
+        frames.append(Frame(y, u, v))
+    cfg = EncoderConfig(base_q_idx=96)
+    p_tf, e_tf = encode_video_tpu_arf(frames, cfg, group=4, tf_strength=2)
+    p_no, e_no = encode_video_tpu_arf(frames, cfg, group=4, tf_strength=0)
+    arf_tf = len(p_tf[1])
+    arf_no = len(p_no[1])
+    assert arf_tf < arf_no, (arf_tf, arf_no)

@@ -81,6 +81,24 @@ def clip_detail(w, h, n, seed=2):
     return frames
 
 
+def clip_noisy(w, h, n, seed=5, sigma=4.0):
+    """Static scene + per-frame independent noise (temporal-filter
+    showcase: the only clip whose noise is temporal, not part of the
+    panned field)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (100 + 60 * np.sin(xx / 23.0) * np.cos(yy / 31.0)
+            + 25 * ((xx // 32 + yy // 32) % 2))
+    out = []
+    for _ in range(n):
+        y = np.clip(base + rng.normal(0, sigma, (h, w)), 0,
+                    255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 135, np.uint8)
+        out.append(Frame(y, u, v))
+    return out
+
+
 def clip_moving(w, h, n, seed=3):
     """Textured scene with global translation + a moving object."""
     rng = np.random.default_rng(seed)
@@ -245,6 +263,7 @@ def main():
         "gradient_176": clip_gradient(176, 144, 4),
         "detail_176": clip_detail(176, 144, 4),
         "moving_176": clip_moving(176, 144, 4),
+        "noisy_176": clip_noisy(176, 144, 4),
     }
 
     results = {"configs": {"cq_levels": CQ, "q_idx": QIDX,
@@ -285,11 +304,21 @@ def main():
             return pkts
         return mk
 
+    def inter_tpu_arf_packets(q):
+        def mk(frames):
+            from aom_av1_psy_tpu.encoder.tpu_interframe import \
+                encode_video_tpu_arf
+            pkts, _ = encode_video_tpu_arf(
+                frames, EncoderConfig(base_q_idx=q), group=len(frames) - 1)
+            return pkts
+        return mk
+
     mode_defs = {
         "intra_tpu": (intra_clips, tpu_intra_packets),
         "intra_tpu_cdef": (intra_clips, tpu_intra_cdef_packets),
         "intra_host": (intra_clips, host_intra_packets),
         "inter_tpu": (inter_clips, inter_tpu_packets),
+        "inter_tpu_arf": (inter_clips, inter_tpu_arf_packets),
         "inter_ippp": (inter_clips, inter_packets),
     }
     run_modes = [m.strip() for m in args.modes.split(",") if m.strip()]
