@@ -83,6 +83,17 @@ class TpuFrameEncoder:
         if cfg.lossless or cfg.base_q_idx == 0:
             raise NotImplementedError("lossless uses FrameEncoder (WHT)")
         self.cfg = cfg
+        if cfg.tune_vmaf:
+            # av1_vmaf_frame_preprocessing analogue: encode the
+            # VIF-optimal unsharpened source (encoder/tune_vmaf.py)
+            from . import tune_vmaf as TV
+            from ..utils.frame import Frame as _F
+            amt, sharp_y = TV.frame_preprocessing(frame.planes()[0])
+            self.vmaf_unsharp_amount = amt
+            if not frame.monochrome:
+                frame = _F(sharp_y, frame.planes()[1], frame.planes()[2])
+            else:
+                frame = _F(sharp_y, None, None)
         self.src = frame
         self.w, self.h = frame.width, frame.height
         self.mi_cols = (self.w + 7) // 8 * 2

@@ -92,6 +92,14 @@ class TpuInterFrameEncoder:
         # restores the legacy pre-LPF/lf=0 behavior
         self.zero_lpf = zero_lpf
         self.cfg = cfg
+        if cfg.tune_vmaf:
+            from . import tune_vmaf as TV
+            amt, sharp_y = TV.frame_preprocessing(frame.planes()[0])
+            self.vmaf_unsharp_amount = amt
+            if not frame.monochrome:
+                frame = Frame(sharp_y, frame.planes()[1], frame.planes()[2])
+            else:
+                frame = Frame(sharp_y, None, None)
         self.src = frame
         self._seq = seq
         self.w, self.h = frame.width, frame.height
