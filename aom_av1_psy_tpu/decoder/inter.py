@@ -455,8 +455,15 @@ def motion_mode_allowed(dec, xd, mbmi, overlappable):
     if bw >= 8 and bh >= 8 and mbmi.mode >= MR.NEARESTMV \
             and mbmi.mode <= MR.NEWMV and mbmi.ref_frame[1] != MR.INTRA_FRAME \
             and not mbmi.is_compound:
+        ref_slot = dec.refs[mbmi.ref_frame[0]]
+        ref_scaled = (ref_slot["upscaled_width"] != dec.fh.width
+                      or ref_slot["height"] != dec.fh.height)
+        # motion_mode_allowed (av1/common/reconinter.h): WARPED_CAUSAL
+        # additionally requires an UNSCALED reference — with a scaled ref
+        # the coded symbol is the 2-ary obmc_cdf, not the 3-ary
+        # motion_mode_cdf (parse-level, resize-mode streams)
         if mbmi.num_proj_ref >= 1 and dec.fh.allow_warped_motion \
-                and not dec.fh.force_integer_mv:
+                and not dec.fh.force_integer_mv and not ref_scaled:
             return WARPED_CAUSAL
         return OBMC_CAUSAL
     return SIMPLE_TRANSLATION
@@ -504,11 +511,69 @@ def _fetch_ref_block(ref_plane, crop_w, crop_h, x0, y0, w, h):
     return ref_plane[np.ix_(ys, xs)]
 
 
+def _scaled_value(val: int, scale_fp: int) -> int:
+    """av1_scaled_x/y (scale.h:36): q4 position -> q10 scaled position.
+    ROUND_POWER_OF_TWO_SIGNED_64 rounds the magnitude (C truncation
+    semantics), not the floor."""
+    off = (scale_fp - (1 << 14)) * (1 << 3)   # (SUBPEL_BITS - 1)
+    tval = val * scale_fp + off
+    r = 1 << 7   # REF_SCALE_SHIFT - SCALE_EXTRA_BITS = 8
+    if tval >= 0:
+        return (tval + r) >> 8
+    return -((-tval + r) >> 8)
+
+
+def _predict_one_scaled(dec, mbmi, ref_slot, mv, xd, plane, pre_x, pre_y,
+                        bw, bh, ss_x, ss_y):
+    """Scaled-reference single prediction (av1_is_scaled path of
+    dec_calc_subpel_params, decodeframe.c:546 + av1_convolve_2d_scale,
+    av1/common/convolve.c:371). The reference's dims differ from the
+    current frame's; positions walk the ref in 1/1024 units."""
+    ref_w, ref_h = ref_slot["upscaled_width"], ref_slot["height"]
+    cur_w, cur_h = dec.fh.width, dec.fh.height
+    x_fp = ((ref_w << 14) + cur_w // 2) // cur_w
+    y_fp = ((ref_h << 14) + cur_h // 2) // cur_h
+    xs = (x_fp + 8) >> 4     # fixed_point_scale_to_coarse_point_scale
+    ys = (y_fp + 8) >> 4
+    orig_pos_y = (pre_y << 4) + mv[0] * (1 << (1 - ss_y))
+    orig_pos_x = (pre_x << 4) + mv[1] * (1 << (1 - ss_x))
+    pos_y = _scaled_value(orig_pos_y, y_fp) + 32   # SCALE_EXTRA_OFF
+    pos_x = _scaled_value(orig_pos_x, x_fp) + 32
+    plane_buf = ref_slot["planes"][plane]
+    crop_w = (ref_w + ss_x) >> ss_x
+    crop_h = (ref_h + ss_y) >> ss_y
+    top = -(((288 >> ss_y) - 4) << 10)   # AOM_LEFT_TOP_MARGIN_SCALED
+    left = -(((288 >> ss_x) - 4) << 10)
+    bottom = (crop_h + 4) << 10          # pre_buf dims + AOM_INTERP_EXTEND
+    right = (crop_w + 4) << 10
+    pos_y = min(max(pos_y, top), bottom)
+    pos_x = min(max(pos_x, left), right)
+    subpel_x = pos_x & 1023
+    subpel_y = pos_y & 1023
+    x0 = pos_x >> 10
+    y0 = pos_y >> 10
+    x1 = ((pos_x + (bw - 1) * xs) >> 10) + 1
+    y1 = ((pos_y + (bh - 1) * ys) >> 10) + 1
+    region = _fetch_ref_block(plane_buf, crop_w, crop_h, x0 - 3, y0 - 3,
+                              x1 - x0 + 8, y1 - y0 + 8).astype(np.int32)
+    kx = np.asarray(CONV.filter_kernels(mbmi.interp_x, bw), np.int64)
+    ky = np.asarray(CONV.filter_kernels(mbmi.interp_y, bh), np.int64)
+    return CONV.convolve_2d_scale(region, 3, 3, bw, bh, kx, ky,
+                                  subpel_x, xs, subpel_y, ys,
+                                  bd=dec.bd).astype(np.int32)
+
+
 def _predict_one(dec, mbmi, ref_slot, mv, xd, plane, pre_x, pre_y, bw, bh,
                  ss_x, ss_y, is_compound):
     """Single-reference prediction for one plane region of (bh, bw) px at
     plane coords (pre_x, pre_y). Returns int32 (bh, bw) pixels (single) or
     the CONV_BUF-domain first pass (compound)."""
+    if (ref_slot["upscaled_width"] != dec.fh.width
+            or ref_slot["height"] != dec.fh.height):
+        if is_compound:
+            raise NotImplementedError("compound with scaled reference")
+        return _predict_one_scaled(dec, mbmi, ref_slot, mv, xd, plane,
+                                   pre_x, pre_y, bw, bh, ss_x, ss_y)
     mv_q4 = _clamp_mv_to_umv_border(mv, xd, bw, bh, ss_x, ss_y)
     pos_x = (pre_x << 4) + mv_q4[1]
     pos_y = (pre_y << 4) + mv_q4[0]
@@ -634,7 +699,15 @@ def build_inter_predictors(dec, xd, mbmi, plane, dst, dst_x, dst_y):
         # model is valid; otherwise plain translational MC
         use_warp = False
         wm = None
-        if bw >= 8 and bh >= 8 and not dec.force_integer_mv:
+        ref_scaled = (dec.refs[mbmi.ref_frame[0]]["upscaled_width"]
+                      != dec.fh.width
+                      or dec.refs[mbmi.ref_frame[0]]["height"]
+                      != dec.fh.height)
+        if bw >= 8 and bh >= 8 and not dec.force_integer_mv \
+                and not ref_scaled:
+            # av1_allow_warp additionally requires an UNSCALED reference
+            # (reconinter.c: av1_is_scaled -> no warp); the WARPED_CAUSAL
+            # syntax still parses, prediction falls back to translation
             if mbmi.motion_mode == WARPED_CAUSAL and mbmi.wm_params is not None \
                     and not mbmi.wm_params.invalid:
                 use_warp, wm = True, mbmi.wm_params

@@ -64,6 +64,12 @@ int main(int argc, char **argv) {
   cfg.g_threads = 1;
   cfg.g_lag_in_frames = 0;
   cfg.g_pass = AOM_RC_ONE_PASS;
+  /* AOM_DS_RESIZE=<denom 9..16>: fixed frame-resize mode (scaled refs) */
+  const char *resize_env = getenv("AOM_DS_RESIZE");
+  if (resize_env && atoi(resize_env) > 8) {
+    cfg.rc_resize_mode = 1;
+    cfg.rc_resize_denominator = atoi(resize_env);
+  }
   /* optional two-pass flow (AOM_DS_PASSES=2): stats pass first */
   aom_fixed_buf_t stats = { NULL, 0 };
   const char *passes_env = getenv("AOM_DS_PASSES");
