@@ -81,3 +81,47 @@ def compute_rd_mult(qindex: int, frame_type_kf: bool = True) -> int:
     rdmult = q * q
     mult = (3.3 + 0.0015 * q) if frame_type_kf else (4.25 + 0.001 * q)
     return max(int(rdmult * mult), 1)
+
+
+def coeff_rate_tables(fc, tx_size: int, plane_type: int):
+    """Decision-only per-|level| and per-eob-token cost tables for one
+    (tx_size, plane) from the frame's CDFs (av1_cost_coeffs_txb's role,
+    context-averaged: the device RD needs a context-free estimate, not
+    the exact write-path rate, which ec/ computes on the host).
+
+    Returns (lvl (16,) float32 incl. sign, eobtok (nsyms,) float32 incl.
+    the eob-extra literal bits at each token) in 1/512-bit units.
+    The golomb tail beyond |level| 15 is added on device.
+    """
+    from ..normative.txsize import txsize_entropy_ctx, TXSIZE_LOG2_MINUS4
+    ectx = txsize_entropy_ctx(tx_size)
+    base = fc.coeff_base_cdf[ectx][plane_type]          # (ctx, 5)
+    br = fc.coeff_br_cdf[min(ectx, 3)][plane_type]      # (ctx, 5)
+    # median over contexts: a plain mean overweights rare extreme
+    # contexts (a zero would cost ~2 bits); the median tracks typical use
+    base_cost = np.median(
+        np.stack([cdf_cost_table(row, 4) for row in base]), 0)   # (4,)
+    br_cost = np.median(
+        np.stack([cdf_cost_table(row, 4) for row in br]), 0)
+    sign = 1 << PROB_COST_SHIFT                         # ~1 bit
+    lvl = np.zeros(16, np.float32)
+    lvl[0] = base_cost[0]
+    for l in range(1, 16):
+        c = base_cost[min(l, 3)] + sign
+        if l >= 3:
+            k = l - 3
+            for _ in range(4):       # at most 4 br symbols
+                sym = min(k, 3)
+                c += br_cost[sym]
+                k -= sym
+                if sym < 3:
+                    break
+        lvl[l] = c
+    ems = int(TXSIZE_LOG2_MINUS4[tx_size])
+    eob_cdf = getattr(fc, f"eob_flag_cdf{16 << ems}")[plane_type][0]
+    nsyms = 5 + ems
+    eobtok = cdf_cost_table(eob_cdf, nsyms).astype(np.float32)
+    bits = np.asarray(
+        [0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9][:nsyms], np.float32)
+    eobtok = eobtok + bits * (1 << PROB_COST_SHIFT)
+    return lvl.astype(np.float32), eobtok

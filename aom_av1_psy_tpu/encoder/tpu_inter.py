@@ -178,7 +178,7 @@ def _mv_rate_proxy(mv8_r, mv8_c):
 @functools.partial(jax.jit,
                    static_argnames=("R", "C", "crop_h", "crop_w"))
 def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
-                kernels, c16, c32, alpha, beta,
+                kernels, c16, c32, rt32, rt16,
                 *, R, C, crop_h, crop_w):
     """src/ref: (R*32, C*32) int32 padded planes. Returns
     (split (R,C), mv8 (2R,2C,2), lv32, e32, lv16, e16, recon)."""
@@ -254,7 +254,7 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     # ---- 16 TQ + skip-RD ----
     lv16, e16, rec16 = _tq_recon(s16, pred16, dc_q, ac_q, tx16, scan16)
     lv16, e16, rec16, sse16, crate16 = _skip_rd(
-        lv16, e16, rec16, pred16, s16, rdf16, alpha, beta)
+        lv16, e16, rec16, pred16, s16, rdf16, *rt16)
     cost16b = 2048.0 * sse16 + (rdf16 / 512.0) * (
         crate16 + _mv_rate_proxy(mv8_r, mv8_c))
     cost16 = cost16b.reshape(R2, C2)
@@ -294,7 +294,7 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
 
     lv32, e32, rec32 = _tq_recon(s32, pred32, dc_q, ac_q, tx32, scan32)
     lv32, e32, rec32, sse32, crate32 = _skip_rd(
-        lv32, e32, rec32, pred32, s32, rdf32, alpha, beta)
+        lv32, e32, rec32, pred32, s32, rdf32, *rt32)
     cost32 = (2048.0 * sse32 + (rdf32 / 512.0) * (
         crate32 + _mv_rate_proxy(mv32_r, mv32_c))).reshape(R, C)
 
@@ -322,7 +322,7 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
 @functools.partial(jax.jit,
                    static_argnames=("R", "C", "crop_h", "crop_w"))
 def _chroma_inter(src_u, src_v, ref_u, ref_v, dc_q, ac_q, rd16, rd32,
-                  split, mv8, kernels, cc16, cc32, alpha, beta,
+                  split, mv8, kernels, cc16, cc32, rtc16, rtc8,
                   *, R, C, crop_h, crop_w):
     """Chroma (4:2:0) follows the luma structure: 16px blocks for NONE
     cells, 8px for split subs, same MVs. Returns per-plane levels/eobs
@@ -355,7 +355,7 @@ def _chroma_inter(src_u, src_v, ref_u, ref_v, dc_q, ac_q, rd16, rd32,
         p8 = _mc_blocks(refp, gy8, gx8, qr, qc, 8, crop_h, crop_w, kernels)
         lv8, e8, rec8 = _tq_recon(s8, p8, dc_q, ac_q, tx8, scan8)
         lv8, e8, rec8, _, _ = _skip_rd(lv8, e8, rec8, p8, s8,
-                                       rd16.reshape(-1), alpha, beta)
+                                       rd16.reshape(-1), *rtc8)
 
         rows16 = cy16[:, None] + jnp.arange(16)[None, :]
         cols16 = cx16[:, None] + jnp.arange(16)[None, :]
@@ -365,7 +365,7 @@ def _chroma_inter(src_u, src_v, ref_u, ref_v, dc_q, ac_q, rd16, rd32,
                          kernels)
         lv16, e16, rec16 = _tq_recon(s16, p16, dc_q, ac_q, tx16, scan16)
         lv16, e16, rec16, _, _ = _skip_rd(lv16, e16, rec16, p16, s16,
-                                          rd32.reshape(-1), alpha, beta)
+                                          rd32.reshape(-1), *rtc16)
 
         r8f = rec8.reshape(R2, C2, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(R2 * 8, C2 * 8)
@@ -391,9 +391,11 @@ def plan_inter_frame(src_planes, ref_planes, q, rdmult, mi_rows, mi_cols,
     multiples; ref_planes: same-dims reference recon (device arrays ok);
     crop_w/crop_h: TRUE frame dims (border-replication clamp bounds).
     Returns the plan dict for the inter symbol-script pack."""
-    from .tpu_intra import (_shrink_levels, RATE_PER_COEFF, RATE_PER_TXB,
+    from .tpu_intra import (_shrink_levels, _rate_tables,
                             plan_part_supported)
+    from ..ec.context import FrameContext
     assert plan_part_supported(mi_rows, mi_cols)
+    rt = _rate_tables(FrameContext(q))
     y = src_planes[0]
     R, C = y.shape[0] // 32, y.shape[1] // 32
     R2, C2 = 2 * R, 2 * C
@@ -429,7 +431,7 @@ def plan_inter_frame(src_planes, ref_planes, q, rdmult, mi_rows, mi_cols,
         jnp.asarray(no_split), kernels,
         tuple(jnp.asarray(x) for x in c16),
         tuple(jnp.asarray(x) for x in c32),
-        RATE_PER_COEFF, RATE_PER_TXB,
+        rt["y32"], rt["y16"],
         R=R, C=C, crop_h=crop_h, crop_w=crop_w)
     plan = {
         "inter": True,
@@ -449,7 +451,7 @@ def plan_inter_frame(src_planes, ref_planes, q, rdmult, mi_rows, mi_cols,
             dc_q, ac_q, jnp.asarray(rd16), jnp.asarray(rd32), split, mv8,
             kernels, tuple(jnp.asarray(x) for x in cc16),
             tuple(jnp.asarray(x) for x in cc32),
-            RATE_PER_COEFF, RATE_PER_TXB,
+            rt["uv16"], rt["uv8"],
             R=R, C=C, crop_h=ch, crop_w=cw)
         plan["uv_levels16"] = np.asarray(_shrink_levels(uvlv16)) \
             .astype(np.int32)

@@ -522,14 +522,40 @@ def plan_frame(src_planes, q, bs, fc, rdmult, fetch_recon=False):
 _QUADS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
-def _skip_rd(levels, eob, recon, pred, src, rdm, alpha, beta):
+def _coeff_rate_est(levels, eob, lvl_tbl, eob_tbl):
+    """(B, n) levels + (B,) eob -> (B,) estimated coefficient rate in
+    1/512-bit units from the CDF-derived tables of
+    ec/costs.coeff_rate_tables (av1_cost_coeffs_txb's decision role:
+    per-|level| base+br+sign cost, golomb tail, eob token + extra
+    bits). Replaces the r2-r4 alpha*eob+beta proxy."""
+    al = jnp.abs(levels)
+    per = lvl_tbl[jnp.clip(al, 0, 15)]
+    nz = al > 0
+    rate = jnp.where(nz, per, 0.0).sum(-1)
+    nnz = nz.sum(-1)
+    # zeros before the scan eob each cost the base-0 symbol
+    rate = rate + (eob - nnz).astype(jnp.float32) * lvl_tbl[0]
+    big = jnp.maximum(al.astype(jnp.float32) - 14.0, 1.0)
+    rate = rate + jnp.where(
+        al >= 15, (2.0 * jnp.floor(jnp.log2(big)) + 1.0) * 512.0,
+        0.0).sum(-1)
+    # eob_pt = 1, 2, then 2 + floor(log2(eob - 1)) (eob_group_start)
+    ptf = 2.0 + jnp.floor(jnp.log2(jnp.maximum(eob - 1, 1)
+                                   .astype(jnp.float32)))
+    pt = jnp.where(eob <= 2, eob, ptf.astype(jnp.int32))
+    pt = jnp.clip(pt, 1, eob_tbl.shape[0])
+    rate = rate + eob_tbl[pt - 1]
+    return jnp.where(eob > 0, rate, 0.0)
+
+
+def _skip_rd(levels, eob, recon, pred, src, rdm, lvl_tbl, eob_tbl):
     """Zero the block's residual when RD prefers prediction-only.
 
-    Compares 2048*sse against lambda-scaled (alpha*eob + beta) estimated
+    Compares 2048*sse against the lambda-scaled CDF-estimated
     coefficient rate (1/512-bit units)."""
     ssep = ((pred - src) ** 2).sum((-1, -2)).astype(jnp.float32)
     ssec = ((recon - src) ** 2).sum((-1, -2)).astype(jnp.float32)
-    rate = alpha * eob.astype(jnp.float32) + beta
+    rate = _coeff_rate_est(levels, eob, lvl_tbl, eob_tbl)
     skip = 2048.0 * (ssep - ssec) < (rdm / 512.0) * rate
     keep = eob > 0
     skip = skip & keep  # already-skipped blocks stay skipped
@@ -544,7 +570,7 @@ def _skip_rd(levels, eob, recon, pred, src, rdm, alpha, beta):
 @functools.partial(jax.jit, static_argnames=("R", "C"))
 def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
                          rd16, rd32, forced, no_split, pr_none, pr_split,
-                         alpha, beta, masks, *, R, C):
+                         rt32, rt16, masks, *, R, C):
     """Two-level luma wavefront over 32px cells with the FULL candidate
     set: 7 extension-free modes + all directional (mode, delta) pairs
     (tpu_intra_dir). Candidate availability follows the normative
@@ -634,7 +660,7 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
                                      axis=0)[0]
         lv32, e32, rec32 = _tq_recon(src32, pred32, dc_q, ac_q, tx32, scan32)
         lv32, e32, rec32, sse32, crate32 = _skip_rd(
-            lv32, e32, rec32, pred32, src32, rdm32, alpha, beta)
+            lv32, e32, rec32, pred32, src32, rdm32, *rt32)
         mrate32 = jnp.take_along_axis(rate32, best32[:, None], axis=1)[:, 0]
         cost32 = 2048.0 * sse32 + (rdm32 / 512.0) * (
             mrate32.astype(jnp.float32) + crate32 + pr_none)
@@ -695,7 +721,7 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
                                      axis=0)[0]
             lv, e, rec = _tq_recon(s16, pr, dc_q, ac_q, tx16, scan16)
             lv, e, rec, sse, crate = _skip_rd(lv, e, rec, pr, s16, rdm16,
-                                              alpha, beta)
+                                              *rt16)
             mrate = jnp.take_along_axis(r16, b16[:, None], axis=1)[:, 0]
             cost16 = cost16 + 2048.0 * sse + (rdm16 / 512.0) * (
                 mrate.astype(jnp.float32) + crate)
@@ -741,7 +767,7 @@ def _luma_wavefront_part(src, mode_cost, angle_cost, dc_q, ac_q,
 
 @functools.partial(jax.jit, static_argnames=("R", "C"))
 def _chroma_wavefront_part(src_u, src_v, uv_cost, dc_q, ac_q,
-                           rd16, rd32, split32, y_m32, y_m16, alpha, beta,
+                           rd16, rd32, split32, y_m32, y_m16, rtc16, rtc8,
                            *, R, C):
     """Two-level chroma wavefront over 16px chroma cells (4:2:0 mirror of
     the luma 32/16 partition). The structure FOLLOWS the luma split map;
@@ -801,7 +827,7 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, dc_q, ac_q,
             lv, e, rec = _tq_recon_uv(sb, pred, dc_q, ac_q, tx16, scan16,
                                       uvmode16)
             lv, e, rec, _, _ = _skip_rd(lv, e, rec, pred, sb, rdm32,
-                                        alpha, beta)
+                                        *rtc16)
             res16.append((lv, e, rec))
 
         # ---- 8 path (4 sub-blocks per plane, raster, local recon) ----
@@ -844,7 +870,7 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, dc_q, ac_q,
                 lv, e, rec = _tq_recon_uv(sb, pred, dc_q, ac_q, tx8, scan8,
                                           uvmode8)
                 lv, e, rec, _, _ = _skip_rd(lv, e, rec, pred, sb, rdm16,
-                                            alpha, beta)
+                                            *rtc8)
                 locs[p] = jax.lax.dynamic_update_slice(
                     locs[p], rec, (0, 1 + qr * 8, 1 + qc * 8))
                 out_p.append((lv, e))
@@ -879,11 +905,22 @@ def _chroma_wavefront_part(src_u, src_v, uv_cost, dc_q, ac_q,
             bufs[:, 1 : 1 + H, 1 : 1 + W])
 
 
-# coefficient-rate model for on-device RD (decision-only): measured on the
-# q60-160 range of the harness clips, a coded intra coefficient costs
-# ~2.6 bits with ~2 bits of block fixed cost (eob prefix + txb_skip delta)
-RATE_PER_COEFF = 1331.0   # 2.6 bits in 1/512 units
-RATE_PER_TXB = 1024.0
+
+
+def _rate_tables(fc):
+    """Device coefficient-rate tables per (tx size, plane) as jnp pairs
+    (ec/costs.coeff_rate_tables)."""
+    from ..ec.costs import coeff_rate_tables
+    from ..normative.enums import TxSize as _TS
+
+    def pair(tx, pl):
+        lvl, eob = coeff_rate_tables(fc, tx, pl)
+        return (jnp.asarray(lvl), jnp.asarray(eob))
+
+    return {"y32": pair(int(_TS.TX_32X32), 0),
+            "y16": pair(int(_TS.TX_16X16), 0),
+            "uv16": pair(int(_TS.TX_16X16), 1),
+            "uv8": pair(int(_TS.TX_8X8), 1)}
 
 
 def _part_rate_scalars(fc):
@@ -941,12 +978,13 @@ def plan_frame_part(src_planes, q, fc, rdmult, mi_rows, mi_cols,
     assert not (forced & no_split).any(), "unsupported mi dims for part2"
     pr_none, pr_split = _part_rate_scalars(fc)
 
+    rt = _rate_tables(fc)
     split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec = \
         _luma_wavefront_part(
             jnp.asarray(y), jnp.asarray(kf_cost), jnp.asarray(angle_cost),
             dc_q, ac_q, jnp.asarray(rd16), jnp.asarray(rd32),
             jnp.asarray(forced), jnp.asarray(no_split), pr_none, pr_split,
-            RATE_PER_COEFF, RATE_PER_TXB, masks, R=R, C=C)
+            rt["y32"], rt["y16"], masks, R=R, C=C)
     plan = {
         "part": True,
         "split32": np.asarray(split).astype(np.uint8),
@@ -964,7 +1002,7 @@ def plan_frame_part(src_planes, q, fc, rdmult, mi_rows, mi_cols,
                 jnp.asarray(u), jnp.asarray(v), jnp.asarray(uv_cost),
                 dc_q, ac_q, jnp.asarray(rd16),
                 jnp.asarray(rd32), split, m32, m16,
-                RATE_PER_COEFF, RATE_PER_TXB, R=R, C=C)
+                rt["uv16"], rt["uv8"], R=R, C=C)
         plan["uv_mode16"] = np.asarray(uvm16)
         plan["uv_mode8"] = np.asarray(uvm8)
         plan["uv_levels16"] = np.asarray(_shrink_levels(uvlv16)) \

@@ -93,6 +93,7 @@ def tile_plans_sharded(mesh: Mesh, slabs: list, q: int, mi_rows: int):
     assert np.prod(mesh.devices.shape) == T, (mesh.devices.shape, T)
     fc = FrameContext(q)
     kf_cost, angle_cost, uv_cost = TI._plan_cost_tables2(fc)
+    rt = TI._rate_tables(fc)
     dc_q, ac_q = tables.dc_quant(q), tables.ac_quant(q)
     pr_none, pr_split = TI._part_rate_scalars(fc)
     y0 = slabs[0]["y"]
@@ -146,12 +147,12 @@ def tile_plans_sharded(mesh: Mesh, slabs: list, q: int, mi_rows: int):
         split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec = \
             TI._luma_wavefront_part(
                 y, kf_cost, angle_cost, dc_q, ac_q, rdf, rdc, forced, nos,
-                pr_none, pr_split, TI.RATE_PER_COEFF, TI.RATE_PER_TXB,
+                pr_none, pr_split, rt["y32"], rt["y16"],
                 masks, R=R, C=C)
         uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec = \
             TI._chroma_wavefront_part(
                 u, v, uv_cost, dc_q, ac_q, rdf, rdc, split,
-                m32, m16, TI.RATE_PER_COEFF, TI.RATE_PER_TXB, R=R, C=C)
+                m32, m16, rt["uv16"], rt["uv8"], R=R, C=C)
         outs = (split, m32, d32, lv32, e32, m16, d16, lv16, e16, yrec,
                 uvm16, uvlv16, uve16, uvm8, uvlv8, uve8, uvrec)
         return tuple(o[None] for o in outs)

@@ -140,23 +140,49 @@ def global_psnr(src_frames, dec_frames):
     return 10 * np.log10(255.0 ** 2 * samples / sse)
 
 
+def pareto_front(rates, psnrs):
+    """Drop RD points dominated by another point (<= rate AND >= psnr):
+    a non-monotone curve (e.g. mid-q quantization pathologies) breaks the
+    Bjontegaard fit; the front is what an encoder user would operate on."""
+    pts = sorted(zip(rates, psnrs))
+    keep = []
+    for i, (r, p) in enumerate(pts):
+        dominated = any((r2 <= r and p2 >= p and (r2, p2) != (r, p))
+                        for r2, p2 in pts)
+        if not dominated:
+            keep.append((r, p))
+    if len(keep) < 2:
+        return rates, psnrs
+    return [k[0] for k in keep], [k[1] for k in keep]
+
+
 def bd_rate(anchor_rate, anchor_psnr, test_rate, test_psnr):
-    """Bjontegaard delta-rate (%), cubic fit in (psnr, log rate)."""
+    """Bjontegaard delta-rate (%), cubic fit in (psnr, log rate) over the
+    Pareto fronts of both curves."""
+    anchor_rate, anchor_psnr = pareto_front(anchor_rate, anchor_psnr)
+    test_rate, test_psnr = pareto_front(test_rate, test_psnr)
+    if len(anchor_rate) < 2 or len(test_rate) < 2:
+        return None
     lr1 = np.log(np.asarray(anchor_rate, float))
     lr2 = np.log(np.asarray(test_rate, float))
     p1 = np.asarray(anchor_psnr, float)
     p2 = np.asarray(test_psnr, float)
+    o1 = np.argsort(p1)
+    o2 = np.argsort(p2)
+    p1, lr1 = p1[o1], lr1[o1]
+    p2, lr2 = p2[o2], lr2[o2]
     lo = max(p1.min(), p2.min())
     hi = min(p1.max(), p2.max())
     if hi <= lo:
         return None  # no PSNR overlap
-    f1 = np.polyfit(p1, lr1, min(3, len(p1) - 1))
-    f2 = np.polyfit(p2, lr2, min(3, len(p2) - 1))
-    i1 = np.polyint(f1)
-    i2 = np.polyint(f2)
-    v1 = np.polyval(i1, hi) - np.polyval(i1, lo)
-    v2 = np.polyval(i2, hi) - np.polyval(i2, lo)
-    avg = (v2 - v1) / (hi - lo)
+    # piecewise-LINEAR integration in (psnr, log rate): a cubic fit on
+    # sparse/cliffy ladders produces wild inter-point excursions (observed
+    # -100% artifacts); linear interpolation is the robust, conservative
+    # variant of the Bjontegaard measure
+    grid = np.linspace(lo, hi, 256)
+    v1 = np.interp(grid, p1, lr1)
+    v2 = np.interp(grid, p2, lr2)
+    avg = float(np.mean(v2 - v1))
     return float((np.exp(avg) - 1) * 100)
 
 
