@@ -37,6 +37,13 @@ class Av1Decoder:
         self.ref_slots = [None] * 8  # RefCntBuffer analogues
 
     # ---- ref_state protocol for read_frame_header ----
+    def inspect(self):
+        """Per-mi inspection snapshot of the most recently decoded frame
+        (av1/decoder/inspection.h analogue; see decoder/inspect.py)."""
+        from .inspect import snapshot
+        assert self.fdec is not None, "no frame decoded yet"
+        return snapshot(self)
+
     def slot_order_hint(self, idx: int):
         s = self.ref_slots[idx]
         return s["order_hint"] if s else None

@@ -840,6 +840,102 @@ def _qindex_for_qstep(qstep: float, bd: int = 8) -> int:
     return lo
 
 
+def encode_video_tpu_cbr(frames, target_bps: float, fps: float = 30.0,
+                         buffer_ms: int = 1000, initial_ms: int = 500,
+                         optimal_pct: int = 60, start_q: int = 120,
+                         min_q: int = 8, max_q: int = 250,
+                         max_step: int = 40, kf_q_offset: int = 40,
+                         path: str | None = None):
+    """One-pass CBR with a leaky-bucket buffer model on the fused path
+    (av1/encoder/ratectrl.c one-pass CBR: av1_calc_pframe_target_size_
+    one_pass_cbr's buffer-deviation target + update_buffer_level).
+
+    The decoder buffer fills at target_bps and drains by each coded
+    frame; the per-frame bit target is the per-frame bandwidth corrected
+    by the deviation from the optimal buffer fullness, and the quantizer
+    follows the same online power-law rate model as the VBR driver with
+    per-frame q clamps. Returns (packets, encs, qs, buffer_trace).
+    """
+    from .tpu_frame import TpuFrameEncoder
+    from ..bitstream.containers import write_ivf
+    import dataclasses
+    n = len(frames)
+    avg_bits = target_bps / fps
+    buffer_sz = target_bps * buffer_ms / 1000.0
+    optimal = buffer_sz * optimal_pct / 100.0
+    level = target_bps * initial_ms / 1000.0
+    obs = {}
+    packets, encs, qs, trace = [], [], [], []
+
+    def want_q(ftype, tgt):
+        pts = obs.get(ftype)
+        if not pts:
+            return None
+        lq1, lb1 = pts[-1]
+        beta = 1.2
+        if len(pts) == 2 and abs(pts[0][0] - lq1) > 1e-3:
+            beta = float(np.clip((pts[0][1] - lb1) / (lq1 - pts[0][0]),
+                                 0.4, 3.0))
+        lqw = lq1 + (lb1 - np.log(max(tgt, 1.0))) / beta
+        return _qindex_for_qstep(float(np.exp(lqw)))
+
+    ref_dev = None
+    seq = None
+    prev_fc = None
+    q = int(np.clip(start_q, min_q, max_q))
+    for i, frame in enumerate(frames):
+        is_key = i == 0
+        ftype = "key" if is_key else "inter"
+        # target: per-frame bandwidth corrected toward the optimal
+        # fullness over ~one buffer's worth of frames (the reference's
+        # buffer-deviation term); KEY frames get a bounded boost
+        correction = (level - optimal) / max(fps, 1.0)
+        tgt = max(avg_bits * 0.25, avg_bits + correction)
+        if is_key:
+            tgt = min(4.0 * avg_bits, buffer_sz * 0.5)
+        want = want_q(ftype, tgt)
+        if want is None:
+            want = max(8, q - kf_q_offset) if is_key else q
+        step = int(np.clip(want - q, -max_step, max_step))
+        q_frame = int(np.clip(q + step, min_q, max_q))
+        if not is_key:
+            q = q_frame
+        cfg_i = EncoderConfig(base_q_idx=q_frame)
+        if is_key:
+            enc = TpuFrameEncoder(frame, cfg_i)
+            if n > 1:
+                orig = enc.make_headers
+
+                def _nocdef(_orig=orig):
+                    seq_, fh_ = _orig()
+                    seq_.enable_cdef = False
+                    return seq_, fh_
+
+                enc.make_headers = _nocdef
+            pkt = enc.encode(include_seq=(i == 0))
+            seq = enc.seq
+        else:
+            enc = TpuInterFrameEncoder(frame, cfg_i, seq, ref_dev,
+                                       frames[0].width, frames[0].height,
+                                       prev_fc=prev_fc)
+            pkt = enc.encode()
+        bits = len(pkt) * 8
+        # leaky bucket: fill at the channel rate, drain by coded bits
+        level = float(np.clip(level + avg_bits - bits, 0.0, buffer_sz))
+        pt = (float(np.log(tables.ac_quant(q_frame))),
+              float(np.log(max(bits, 1))))
+        obs[ftype] = (obs.get(ftype, []) + [pt])[-2:]
+        packets.append(pkt)
+        encs.append(enc)
+        qs.append(q_frame)
+        trace.append(level)
+        ref_dev = _ref_chain_planes(enc)
+        prev_fc = enc.saved_fc
+    if path is not None:
+        write_ivf(path, packets, frames[0].width, frames[0].height)
+    return packets, encs, qs, trace
+
+
 def encode_video_tpu_rc(frames, target_bps: float, fps: float = 30.0,
                         key_interval: int = 0, start_q: int = 120,
                         min_q: int = 8, max_q: int = 250,

@@ -257,3 +257,32 @@ def test_temporal_filter_consumed_by_arf():
     arf_tf = len(p_tf[1])
     arf_no = len(p_no[1])
     assert arf_tf < arf_no, (arf_tf, arf_no)
+
+
+def test_cbr_buffer_model():
+    """One-pass CBR (encode_video_tpu_cbr): the leaky-bucket buffer must
+    never underrun after the startup transient and the delivered bitrate
+    must track the target (ratectrl.c one-pass CBR role)."""
+    from aom_av1_psy_tpu.encoder.tpu_interframe import encode_video_tpu_cbr
+    rng = np.random.default_rng(8)
+    w, h = 176, 144
+    pad = 80
+    bg = (110 + 45 * np.sin(np.arange(w + pad) / 37.0)[None, :]
+          * np.cos(np.arange(h + pad) / 29.0)[:, None]
+          + rng.normal(0, 5, (h + pad, w + pad))).astype(np.float32)
+    frames = []
+    for i in range(10):
+        y = np.clip(bg[2 * i : 2 * i + h, 3 * i : 3 * i + w], 0,
+                    255).astype(np.uint8)
+        frames.append(Frame(y, np.full((h // 2, w // 2), 120, np.uint8),
+                            np.full((h // 2, w // 2), 135, np.uint8)))
+    target = 220_000.0
+    fps = 30.0
+    pkts, encs, qs, trace = encode_video_tpu_cbr(frames, target, fps=fps)
+    total_bits = sum(len(p) for p in pkts) * 8
+    rate = total_bits * fps / len(frames)
+    assert 0.5 * target < rate < 1.6 * target, rate
+    # buffer never pinned empty after the KEY transient
+    assert min(trace[2:]) > 0.0, trace
+    # q reacts: steady-state P-frame q settles within the clamps
+    assert all(8 <= v <= 250 for v in qs)
