@@ -178,7 +178,7 @@ def _mv_rate_proxy(mv8_r, mv8_c):
 @functools.partial(jax.jit,
                    static_argnames=("R", "C", "crop_h", "crop_w"))
 def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
-                kernels, c16, c32, rt32, rt16,
+                all_kernels, c16, c32, rt32, rt16,
                 *, R, C, crop_h, crop_w):
     """src/ref: (R*32, C*32) int32 padded planes. Returns
     (split (R,C), mv8 (2R,2C,2), lv32, e32, lv16, e16, recon)."""
@@ -194,6 +194,7 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     rows16 = gy[:, None] + jnp.arange(16)[None, :]
     cols16 = gx[:, None] + jnp.arange(16)[None, :]
     s16 = src[rows16[:, :, None], cols16[:, None, :]]
+    kernels = all_kernels[0]      # REGULAR during the search stages
     fdy, fdx = _fullpel_search(s16, ref, gy, gx, crop_h, crop_w)
     mv8_r, mv8_c = 8 * fdy, 8 * fdx
     lo_r, hi_r, lo_c, hi_c = [x.reshape(-1) for x in c16]
@@ -247,9 +248,23 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     choice = jnp.argmin(jnp.stack([rd_srch, rd_g, rd_0]), axis=0)
     mv8_r = jnp.where(choice == 1, gv_r, jnp.where(choice == 2, 0, mv8_r))
     mv8_c = jnp.where(choice == 1, gv_c, jnp.where(choice == 2, 0, mv8_c))
-    pred16 = jnp.where((choice == 1)[:, None, None], predg,
-                       jnp.where((choice == 2)[:, None, None], pred0,
-                                 pred16))
+
+    # ---- frame-level interpolation filter selection ----
+    # av1/encoder/interp_search.c's role at frame granularity: with the
+    # final MV field, motion-compensate the 16-grid with each filter
+    # family and signal the SSE-minimal one (interp_filter header field;
+    # is_filter_switchable stays off)
+    qr, qc = _clamp_mv_q4(mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c, 0)
+    preds_f = []
+    sses_f = []
+    for f in range(all_kernels.shape[0]):
+        pf = _mc_blocks(ref, gy, gx, qr, qc, 16, crop_h, crop_w,
+                        all_kernels[f])
+        preds_f.append(pf)
+        sses_f.append(((pf - s16) ** 2).astype(jnp.float32).sum())
+    interp_sel = jnp.argmin(jnp.stack(sses_f))
+    kernels = all_kernels[interp_sel]
+    pred16 = jnp.stack(preds_f)[interp_sel]
 
     # ---- 16 TQ + skip-RD ----
     lv16, e16, rec16 = _tq_recon(s16, pred16, dc_q, ac_q, tx16, scan16)
@@ -316,7 +331,8 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     recon = jnp.where(pix_mask, r16f, r32f)
     return (split.astype(jnp.int32), mv_out,
             lv32.reshape(R, C, 1024), e32.reshape(R, C),
-            lv16.reshape(R2, C2, 256), e16.reshape(R2, C2), recon)
+            lv16.reshape(R2, C2, 256), e16.reshape(R2, C2), recon,
+            interp_sel)
 
 
 @functools.partial(jax.jit,
@@ -419,22 +435,24 @@ def plan_inter_frame(src_planes, ref_planes, q, rdmult, mi_rows, mi_cols,
             no_split |= partial
     assert not (forced & no_split).any()
 
-    kernels = jnp.asarray(CONV.filter_kernels(0, 16))   # EIGHTTAP_REGULAR
+    all_kernels = jnp.stack([jnp.asarray(CONV.filter_kernels(f, 16))
+                             for f in (0, 1, 2)])   # REGULAR/SMOOTH/SHARP
     c16 = _edge_grids(R2, C2, mi_rows, mi_cols, 16, 0)
     c32 = _edge_grids(R2, C2, mi_rows, mi_cols, 32, 0)
     cc16 = _edge_grids(R2, C2, mi_rows, mi_cols, 16, 1)
     cc32 = _edge_grids(R2, C2, mi_rows, mi_cols, 32, 1)
 
-    split, mv8, lv32, e32, lv16, e16, yrec = _luma_inter(
+    split, mv8, lv32, e32, lv16, e16, yrec, interp_sel = _luma_inter(
         jnp.asarray(y), jnp.asarray(ref_planes[0]), dc_q, ac_q,
         jnp.asarray(rd16), jnp.asarray(rd32), jnp.asarray(forced),
-        jnp.asarray(no_split), kernels,
+        jnp.asarray(no_split), all_kernels,
         tuple(jnp.asarray(x) for x in c16),
         tuple(jnp.asarray(x) for x in c32),
         rt["y32"], rt["y16"],
         R=R, C=C, crop_h=crop_h, crop_w=crop_w)
     plan = {
         "inter": True,
+        "interp_filter": int(interp_sel),
         "split32": np.asarray(split).astype(np.uint8),
         "mv8": np.asarray(mv8),
         "y_levels32": np.asarray(_shrink_levels(lv32)).astype(np.int32),
@@ -449,7 +467,8 @@ def plan_inter_frame(src_planes, ref_planes, q, rdmult, mi_rows, mi_cols,
             jnp.asarray(src_planes[1]), jnp.asarray(src_planes[2]),
             jnp.asarray(ref_planes[1]), jnp.asarray(ref_planes[2]),
             dc_q, ac_q, jnp.asarray(rd16), jnp.asarray(rd32), split, mv8,
-            kernels, tuple(jnp.asarray(x) for x in cc16),
+            all_kernels[interp_sel],
+            tuple(jnp.asarray(x) for x in cc16),
             tuple(jnp.asarray(x) for x in cc32),
             rt["uv16"], rt["uv8"],
             R=R, C=C, crop_h=ch, crop_w=cw)

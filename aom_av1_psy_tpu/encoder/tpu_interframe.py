@@ -163,7 +163,7 @@ class TpuInterFrameEncoder:
         fh.ref_frame_idx = [self.ref_slot] * 7
         fh.allow_high_precision_mv = False
         fh.is_filter_switchable = False
-        fh.interp_filter = 0
+        fh.interp_filter = 0   # overwritten by the plan's frame pick
         fh.is_motion_mode_switchable = False
         fh.reference_select = False
         fh.allow_warped_motion = False
@@ -201,6 +201,7 @@ class TpuInterFrameEncoder:
             self.crop_h)
         t1 = time.perf_counter()
         self.plan = plan
+        fh.interp_filter = int(plan.get("interp_filter", 0))
         if not self.zero_lpf:
             self._lpf_device(fh)
         else:
