@@ -227,3 +227,186 @@ def masked_sad(src, a, b, mask, invert: bool = False):
         a, b = b, a
     pred = (m * a.astype(xp.int64) + (64 - m) * b.astype(xp.int64) + 32) >> 6
     return xp.abs(pred - src.astype(xp.int64)).sum((-1, -2))
+
+
+# ---------------------------------------------------------------------------
+# PSNR-HVS(-M) — aom_dsp/psnrhvs.c (aom_psnrhvs), vectorized
+# ---------------------------------------------------------------------------
+_CSF_Y = np.array([
+    [1.6193873005, 2.2901594831, 2.08509755623, 1.48366094411, 1.00227514334,
+     0.678296995242, 0.466224900598, 0.3265091542],
+    [2.2901594831, 1.94321815382, 2.04793073064, 1.68731108984, 1.2305666963,
+     0.868920337363, 0.61280991668, 0.436405793551],
+    [2.08509755623, 2.04793073064, 1.34329019223, 1.09205635862,
+     0.875748795257, 0.670882927016, 0.501731932449, 0.372504254596],
+    [1.48366094411, 1.68731108984, 1.09205635862, 0.772819797575,
+     0.605636379554, 0.48309405692, 0.380429446972, 0.295774038565],
+    [1.00227514334, 1.2305666963, 0.875748795257, 0.605636379554,
+     0.448996256676, 0.352889268808, 0.283006984131, 0.226951348204],
+    [0.678296995242, 0.868920337363, 0.670882927016, 0.48309405692,
+     0.352889268808, 0.27032073436, 0.215017739696, 0.17408067321],
+    [0.466224900598, 0.61280991668, 0.501731932449, 0.380429446972,
+     0.283006984131, 0.215017739696, 0.168869545842, 0.136153931001],
+    [0.3265091542, 0.436405793551, 0.372504254596, 0.295774038565,
+     0.226951348204, 0.17408067321, 0.136153931001, 0.109083846276]])
+_CSF_CB = np.array([
+    [1.91113096927, 2.46074210438, 1.18284184739, 1.14982565193,
+     1.05017074788, 0.898018824055, 0.74725392039, 0.615105596242],
+    [2.46074210438, 1.58529308355, 1.21363250036, 1.38190029285,
+     1.33100189972, 1.17428548929, 0.996404342439, 0.830890433625],
+    [1.18284184739, 1.21363250036, 0.978712413627, 1.02624506078,
+     1.03145147362, 0.960060382087, 0.849823426169, 0.731221236837],
+    [1.14982565193, 1.38190029285, 1.02624506078, 0.861317501629,
+     0.801821139099, 0.751437590932, 0.685398513368, 0.608694761374],
+    [1.05017074788, 1.33100189972, 1.03145147362, 0.801821139099,
+     0.676555426187, 0.605503172737, 0.55002013668, 0.495804539034],
+    [0.898018824055, 1.17428548929, 0.960060382087, 0.751437590932,
+     0.605503172737, 0.514674450957, 0.454353482512, 0.407050308965],
+    [0.74725392039, 0.996404342439, 0.849823426169, 0.685398513368,
+     0.55002013668, 0.454353482512, 0.389234902883, 0.342353999733],
+    [0.615105596242, 0.830890433625, 0.731221236837, 0.608694761374,
+     0.495804539034, 0.407050308965, 0.342353999733, 0.295530605237]])
+_CSF_CR = np.array([
+    [2.03871978502, 2.62502345193, 1.26180942886, 1.11019789803,
+     1.01397751469, 0.867069376285, 0.721500455585, 0.593906509971],
+    [2.62502345193, 1.69112867013, 1.17180569821, 1.3342742857,
+     1.28513006198, 1.13381474809, 0.962064122248, 0.802254508198],
+    [1.26180942886, 1.17180569821, 0.944981930573, 0.990876405848,
+     0.995903384143, 0.926972725286, 0.820534991409, 0.706020324706],
+    [1.11019789803, 1.3342742857, 0.990876405848, 0.831632933426,
+     0.77418706195, 0.725539939514, 0.661776842059, 0.587716619023],
+    [1.01397751469, 1.28513006198, 0.995903384143, 0.77418706195,
+     0.653238524286, 0.584635025748, 0.531064164893, 0.478717061273],
+    [0.867069376285, 1.13381474809, 0.926972725286, 0.725539939514,
+     0.584635025748, 0.496936637883, 0.438694579826, 0.393021669543],
+    [0.721500455585, 0.962064122248, 0.820534991409, 0.661776842059,
+     0.531064164893, 0.438694579826, 0.375820256136, 0.330555063063],
+    [0.593906509971, 0.802254508198, 0.706020324706, 0.587716619023,
+     0.478717061273, 0.393021669543, 0.330555063063, 0.285345396658]])
+
+def _fdct8_1d(s):
+    """aom_fdct8x8_c's 1-D stage on (..., 8) int64 (fwd_txfm.c)."""
+    # cospi_N_64 = round(16384 * cos(N*pi/64)) (aom_dsp/txfm_common.h)
+    c16, c8, c24 = 11585, 15137, 6270
+    c28, c4, c12, c20 = 3196, 16069, 13623, 9102
+
+    def rs(v):
+        return (v + (1 << 13)) >> 14
+
+    s0 = s[..., 0] + s[..., 7]
+    s1 = s[..., 1] + s[..., 6]
+    s2 = s[..., 2] + s[..., 5]
+    s3 = s[..., 3] + s[..., 4]
+    s4 = s[..., 3] - s[..., 4]
+    s5 = s[..., 2] - s[..., 5]
+    s6 = s[..., 1] - s[..., 6]
+    s7 = s[..., 0] - s[..., 7]
+    x0 = s0 + s3
+    x1 = s1 + s2
+    x2 = s1 - s2
+    x3 = s0 - s3
+    o0 = rs((x0 + x1) * c16)
+    o4 = rs((x0 - x1) * c16)
+    o2 = rs(x2 * c24 + x3 * c8)
+    o6 = rs(-x2 * c8 + x3 * c24)
+    t2 = rs((s6 - s5) * c16)
+    t3 = rs((s6 + s5) * c16)
+    x0 = s4 + t2
+    x1 = s4 - t2
+    x2 = s7 - t3
+    x3 = s7 + t3
+    o1 = rs(x0 * c28 + x3 * c4)
+    o3 = rs(x2 * c12 + x1 * -c20)
+    o5 = rs(x1 * c12 + x2 * c20)
+    o7 = rs(x3 * c28 + x0 * -c4)
+    return np.stack([o0, o1, o2, o3, o4, o5, o6, o7], axis=-1)
+
+
+def _od_fdct8x8(blocks):
+    """od_bin_fdct8x8 (psnrhvs.c:26): aom_fdct8x8 then (x+4)>>3.
+
+    blocks (B, 8, 8) int64 (row-major, [row, col]). aom_fdct8x8: column
+    pass on *4 input, then row pass, then /2 (C truncation toward 0)."""
+    b = blocks.astype(np.int64)
+    # pass 0: intermediate row i = fdct8 of input column i (*4)
+    inter = _fdct8_1d(np.swapaxes(b * 4, -1, -2))
+    # pass 1: final row i = fdct8 of INTERMEDIATE column i
+    out = _fdct8_1d(np.swapaxes(inter, -1, -2))
+    out = np.where(out >= 0, out // 2, -((-out) // 2))  # C /2 truncates
+    return (out + 4) >> 3
+
+
+def _calc_psnrhvs_plane(src, dst, csf, luma: bool, pix_max: int = 255):
+    """calc_psnrhvs (psnrhvs.c:114) for one 8-bit plane, vectorized."""
+    h, w = src.shape
+    s = src.astype(np.float32)
+    d = dst.astype(np.float32)
+    delt = np.float32(0.0)
+    if luma:
+        # the reference accumulates float sums in raster order; the order-
+        # independent mean is equal within float tolerance
+        delt = np.float32((np.float32(s.sum()) - np.float32(d.sum()))
+                          / (w * h))
+    mask = (csf / csf[1][0]) ** 2
+
+    ys = np.arange(0, h - 7, 7)
+    xs = np.arange(0, w - 7, 7)
+    if len(ys) == 0 or len(xs) == 0:
+        return 0.0
+    # (Ny, Nx, 8, 8) block gathers
+    yy = ys[:, None, None, None] + np.arange(8)[None, None, :, None]
+    xx = xs[None, :, None, None] + np.arange(8)[None, None, None, :]
+    bs = src.astype(np.int64)[yy, xx]
+    bd_ = dst.astype(np.int64)[yy, xx] + int(np.float32(delt) + 0.5)
+
+    # spatial masking activity on the source block (3/10/3 gradients)
+    sf = bs.astype(np.float64)
+    i = slice(1, 7)
+    gx = (sf[:, :, 0:6, 0:6] * 3 - sf[:, :, 0:6, 2:8] * 3
+          + sf[:, :, 1:7, 0:6] * 10 - sf[:, :, 1:7, 2:8] * 10
+          + sf[:, :, 2:8, 0:6] * 3 - sf[:, :, 2:8, 2:8] * 3) \
+        / (pix_max * np.float64(np.float32(16.0)))
+    gy = (sf[:, :, 0:6, 0:6] * 3 - sf[:, :, 2:8, 0:6] * 3
+          + sf[:, :, 0:6, 1:7] * 10 - sf[:, :, 2:8, 1:7] * 10
+          + sf[:, :, 0:6, 2:8] * 3 - sf[:, :, 2:8, 2:8] * 3) \
+        / (pix_max * np.float64(np.float32(16.0)))
+    g = np.sqrt(gx * gx + gy * gy)
+    n = (g > 0.1).sum((-1, -2))
+    s_gmean = g.sum((-1, -2))
+    s_gvar = 1.0 / (36 - n + 1) * s_gmean / 36.0
+
+    cs = _od_fdct8x8(bs.reshape(-1, 8, 8)).reshape(bs.shape)
+    cd = _od_fdct8x8(bd_.reshape(-1, 8, 8)).reshape(bs.shape)
+    m_ac = mask.copy()
+    w_sum = (cs.astype(np.float64) ** 2) * mask
+    w_sum[:, :, 0, 0] = 0.0
+    s_mask = np.sqrt(w_sum.sum((-1, -2)) * s_gvar) / 8.0
+
+    err = np.abs((cs - cd).astype(np.float64))
+    thr = s_mask[:, :, None, None] / mask
+    red = np.maximum(err - thr, 0.0)
+    red = np.where(err < thr, 0.0, red)
+    red[:, :, 0, 0] = err[:, :, 0, 0]  # DC not masked
+    ret = ((red * csf) ** 2).sum()
+    pixels = bs.size
+    ret /= pixels
+    ret += 0.04 * float(delt) * float(delt)
+    return float(ret)
+
+
+def psnr_hvs(src_planes, dst_planes, bd: int = 8):
+    """aom_psnrhvs (aom_dsp/psnrhvs.c:266): returns (total_db, y, u, v)
+    scores; total = -10log10(0.8*y_score + 0.1*(u+v))."""
+    assert bd == 8
+    pix_max = 255
+    y = _calc_psnrhvs_plane(src_planes[0], dst_planes[0], _CSF_Y, True)
+    u = _calc_psnrhvs_plane(src_planes[1], dst_planes[1], _CSF_CB, False)
+    v = _calc_psnrhvs_plane(src_planes[2], dst_planes[2], _CSF_CR, False)
+    total = 0.8 * y + 0.1 * (u + v)
+
+    def db(score):
+        if score < pix_max * pix_max * 1e-10:
+            return 100.0
+        return 10 * (np.log10(pix_max * pix_max) - np.log10(score))
+
+    return db(total), db(y), db(u), db(v)
