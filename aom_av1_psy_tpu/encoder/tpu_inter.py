@@ -103,9 +103,14 @@ def _clamp_mv_q4(mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c, ss):
 # ----------------------------------------------------------------------
 # motion search
 # ----------------------------------------------------------------------
-def _fullpel_search(src16, ref, by, bx, crop_h, crop_w):
-    """src16 (B,16,16); block origins by/bx (B,). EXACT exhaustive
-    step-1 SSD over +/-SEARCH_RAD as two MXU correlations:
+def _fullpel_search(src16, ref, by, bx, crop_h, crop_w, bw: int = 16,
+                    cy=None, cx=None):
+    """src16 (B,bw,bw); block origins by/bx (B,); optional per-block
+    window centers cy/cx (full-pel offsets added to the block origin —
+    the two-stage search centers the fine stage on the coarse stage's
+    half-resolution winner, extending the effective range to
+    +/-(2+1)*SEARCH_RAD). EXACT exhaustive step-1 SSD over
+    +/-SEARCH_RAD as two MXU correlations:
 
       SSD(d) = sum(win(d)^2) - 2*corr(win(d), src) + const
 
@@ -120,24 +125,30 @@ def _fullpel_search(src16, ref, by, bx, crop_h, crop_w):
     Returns full-pel (dy, dx) (B,) each."""
     B = src16.shape[0]
     r = SEARCH_RAD
-    ys = jnp.clip(by[:, None] - r + jnp.arange(16 + 2 * r)[None, :], 0,
+    oy = by if cy is None else by + cy
+    ox = bx if cx is None else bx + cx
+    ys = jnp.clip(oy[:, None] - r + jnp.arange(bw + 2 * r)[None, :], 0,
                   crop_h - 1)
-    xs = jnp.clip(bx[:, None] - r + jnp.arange(16 + 2 * r)[None, :], 0,
+    xs = jnp.clip(ox[:, None] - r + jnp.arange(bw + 2 * r)[None, :], 0,
                   crop_w - 1)
-    win = _gather_region(ref, ys, xs).astype(jnp.float32)   # (B, 48, 48)
-    k = src16.astype(jnp.float32)[:, None]                  # (B, 1, 16, 16)
+    win = _gather_region(ref, ys, xs).astype(jnp.float32)
+    k = src16.astype(jnp.float32)[:, None]                  # (B, 1, bw, bw)
     corr = jax.lax.conv_general_dilated(
         win[None], k, window_strides=(1, 1), padding="VALID",
-        feature_group_count=B)[0]                           # (B, 33, 33)
-    ones = jnp.ones((B, 1, 16, 16), jnp.float32)
+        feature_group_count=B)[0]                           # (B, n, n)
+    ones = jnp.ones((B, 1, bw, bw), jnp.float32)
     sumsq = jax.lax.conv_general_dilated(
         (win * win)[None], ones, window_strides=(1, 1), padding="VALID",
         feature_group_count=B)[0]
     score = sumsq - 2.0 * corr
     n = 2 * r + 1
     best = jnp.argmin(score.reshape(B, -1), axis=1)
-    return (best // n).astype(jnp.int32) - r, \
-        (best % n).astype(jnp.int32) - r
+    dy = (best // n).astype(jnp.int32) - r
+    dx = (best % n).astype(jnp.int32) - r
+    if cy is not None:
+        dy = dy + cy
+        dx = dx + cx
+    return dy, dx
 
 
 def _subpel_refine(src16, ref, by, bx, mv8_r, mv8_c, lo_r, hi_r, lo_c, hi_c,
@@ -195,7 +206,23 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     cols16 = gx[:, None] + jnp.arange(16)[None, :]
     s16 = src[rows16[:, :, None], cols16[:, None, :]]
     kernels = all_kernels[0]      # REGULAR during the search stages
-    fdy, fdx = _fullpel_search(s16, ref, gy, gx, crop_h, crop_w)
+    # two-stage full-pel search: a half-resolution exact-SSD pass first
+    # (effective +/-2*SEARCH_RAD), then the full-res pass centered on its
+    # winner -- combined range +/-48 px (av1_full_pixel_search's
+    # multi-step role without its sequential steps)
+    half = (src[0::2, 0::2] + src[1::2, 0::2] + src[0::2, 1::2]
+            + src[1::2, 1::2] + 2) >> 2
+    rhalf = (ref[0::2, 0::2] + ref[1::2, 0::2] + ref[0::2, 1::2]
+             + ref[1::2, 1::2] + 2) >> 2
+    gy_h = gy >> 1
+    gx_h = gx >> 1
+    rows8 = gy_h[:, None] + jnp.arange(8)[None, :]
+    cols8 = gx_h[:, None] + jnp.arange(8)[None, :]
+    s8 = half[rows8[:, :, None], cols8[:, None, :]]
+    cdy, cdx = _fullpel_search(s8, rhalf, gy_h, gx_h, crop_h // 2,
+                               crop_w // 2, bw=8)
+    fdy, fdx = _fullpel_search(s16, ref, gy, gx, crop_h, crop_w,
+                               cy=2 * cdy, cx=2 * cdx)
     mv8_r, mv8_c = 8 * fdy, 8 * fdx
     lo_r, hi_r, lo_c, hi_c = [x.reshape(-1) for x in c16]
     mv8_r, mv8_c = _subpel_refine(s16, ref, gy, gx, mv8_r, mv8_c,

@@ -286,3 +286,26 @@ def test_cbr_buffer_model():
     assert min(trace[2:]) > 0.0, trace
     # q reacts: steady-state P-frame q settles within the clamps
     assert all(8 <= v <= 250 for v in qs)
+
+
+def test_two_stage_search_fast_pan():
+    """A 24 px/frame pan exceeds the fine stage's +/-16 px radius: the
+    half-resolution coarse stage must recover it (two-stage exact-SSD
+    search, av1_full_pixel_search's multi-step role)."""
+    rng = np.random.default_rng(4)
+    w, h, n = 176, 144, 3
+    pad = 30 * n + 32
+    bg = (110 + 45 * np.sin(np.arange(w + pad) / 37.0)[None, :]
+          * np.cos(np.arange(h + pad) / 29.0)[:, None]
+          + rng.normal(0, 5, (h + pad, w + pad))).astype(np.float32)
+    frames = []
+    for i in range(n):
+        y = np.clip(bg[6 * i : 6 * i + h, 24 * i : 24 * i + w], 0,
+                    255).astype(np.uint8)
+        frames.append(Frame(y, np.full((h // 2, w // 2), 120, np.uint8),
+                            np.full((h // 2, w // 2), 135, np.uint8)))
+    pkts, encs = encode_video_tpu(frames, EncoderConfig(base_q_idx=96))
+    mv = encs[1].plan["mv8"].reshape(-1, 2)
+    frac = (np.abs(mv - np.array([48, 192])) <= 8).all(1).mean()
+    assert frac > 0.6, frac
+    assert max(len(p) for p in pkts[1:]) < 0.2 * len(pkts[0])
