@@ -58,6 +58,7 @@ class EncoderConfig:
     search_lpf: bool = True      # picklpf-style filter level search
     search_cdef: bool = False    # CDEF strength search (enables CDEF syntax)
     tune_psy: bool = False       # psy rdmult modulation (SSIM factors)
+    tune_butteraugli: bool = False  # butteraugli-lite masking rdmult grid
     tune_vmaf: bool = False      # VIF-optimal unsharp source preprocessing
     tile_cols_log2: int = 0      # vertical tile columns (fused path only)
 

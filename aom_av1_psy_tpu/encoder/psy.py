@@ -137,3 +137,52 @@ def ssim_scaled_rdmult(rdmult: int, factors: np.ndarray, mi_row: int,
         return rdmult
     geo = float(np.exp(np.mean(logs)))
     return max(int(rdmult * geo + 0.5), 0)
+
+
+def butteraugli_lite_factors(y_plane: np.ndarray) -> np.ndarray:
+    """Per-16x16 rdmult factors from a butteraugli-LITE sensitivity model
+    (the role of av1_setup_butteraugli_rdmult, tune_butteraugli.c:132,
+    without the external libjxl scorer).
+
+    Butteraugli's dominant effects at this granularity are (a) contrast
+    masking — high-frequency activity hides coding error, so textured
+    blocks can carry a larger lambda — and (b) elevated sensitivity in
+    dark regions (the psy fork's dark-bias motivation). The lite model:
+
+        act   = mean |laplacian| of the block (fine-scale activity)
+        mask  = (1 + act / A0) ** 0.7          (masking -> larger rdmult)
+        dark  = 1 / (1 + D0 * exp(-mean_luma / 40))   (dark -> smaller)
+        f     = mask * dark, geometric-mean normalized to 1
+
+    Returns (rows, cols) float factors aligned with
+    ssim_rdmult_scaling_factors' grid; apply like the SSIM grid.
+    """
+    h, w = y_plane.shape
+    mi_rows = (h + 7) // 8 * 2
+    mi_cols = (w + 7) // 8 * 2
+    rows = (mi_rows + 3) // 4
+    cols = (mi_cols + 3) // 4
+    ph, pw = rows * 16, cols * 16
+    pad = np.zeros((ph, pw), np.float64)
+    pad[:h, :w] = y_plane.astype(np.float64)
+    if w < pw:
+        pad[:h, w:] = pad[:h, w - 1 : w]
+    if h < ph:
+        pad[h:, :] = pad[h - 1 : h, :]
+    c = pad[1:-1, 1:-1]
+    lap = np.abs(4 * c - pad[:-2, 1:-1] - pad[2:, 1:-1]
+                 - pad[1:-1, :-2] - pad[1:-1, 2:])
+    lappad = np.zeros_like(pad)
+    lappad[1:-1, 1:-1] = lap
+    # butteraugli pools WORST-CASE: a 16x16 cell straddling a dark/flat
+    # and a textured region must inherit the sensitive part's factor
+    # (mean pooling under-codes the sensitive half of boundary cells) —
+    # so the per-8x8 factors are min-pooled into the 16 grid
+    act8 = lappad.reshape(rows * 2, 8, cols * 2, 8).mean((1, 3))
+    lum8 = pad.reshape(rows * 2, 8, cols * 2, 8).mean((1, 3))
+    mask8 = (1.0 + act8 / 8.0) ** 0.7
+    dark8 = 1.0 / (1.0 + 1.5 * np.exp(-lum8 / 40.0))
+    f8 = mask8 * dark8
+    f = f8.reshape(rows, 2, cols, 2).min((1, 3))
+    f = f / np.exp(np.log(np.maximum(f, 1e-9)).mean())
+    return np.clip(f, 0.25, 4.0)

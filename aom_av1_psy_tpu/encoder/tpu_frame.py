@@ -159,6 +159,12 @@ class TpuFrameEncoder:
             from . import psy as psy_mod
             f = psy_mod.ssim_rdmult_scaling_factors(planes[0])
             self.rdmult = self._rdmult_grid(self.rdmult, f)
+        elif cfg.tune_butteraugli:
+            # butteraugli-lite masking/darkness grid (tune_butteraugli.c
+            # role, psy.butteraugli_lite_factors)
+            from . import psy as psy_mod
+            f = psy_mod.butteraugli_lite_factors(planes[0])
+            self.rdmult = self._rdmult_grid(self.rdmult, f)
 
     def _rdmult_grid(self, rdmult: int, factors: np.ndarray) -> np.ndarray:
         """(R, C) per-block lambda from per-16x16 SSIM factors."""

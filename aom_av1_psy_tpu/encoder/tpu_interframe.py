@@ -128,6 +128,21 @@ class TpuInterFrameEncoder:
         from ..ec import costs as EC_costs
         self.rdmult = EC_costs.compute_rd_mult(cfg.base_q_idx,
                                                frame_type_kf=False)
+        if cfg.tune_psy or cfg.tune_butteraugli:
+            from . import psy as psy_mod
+            f = (psy_mod.ssim_rdmult_scaling_factors(frame.planes()[0])
+                 if cfg.tune_psy else
+                 psy_mod.butteraugli_lite_factors(frame.planes()[0]))
+            R2 = (self.mi_rows * 4 + 31) // 32 * 2
+            C2 = (self.mi_cols * 4 + 31) // 32 * 2
+            g = np.ones((R2, C2), np.float64)
+            rr, cc = min(R2, f.shape[0]), min(C2, f.shape[1])
+            g[:rr, :cc] = f[:rr, :cc]
+            if rr < R2:
+                g[rr:, :] = g[rr - 1 : rr, :]
+            if cc < C2:
+                g[:, cc:] = g[:, cc - 1 : cc]
+            self.rdmult = (self.rdmult * g).astype(np.float32)
 
         # ---- cm duck-type for normative/mvref.find_mv_refs ----
         self.bd = 8

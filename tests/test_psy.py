@@ -64,3 +64,56 @@ def test_ssim_scaled_rdmult():
     assert psy.ssim_scaled_rdmult(1000, f, 0, 0, 8, 8) == 1000
     # out of range → unchanged
     assert psy.ssim_scaled_rdmult(1000, f, 16, 16, 4, 4) == 1000
+
+
+def test_butteraugli_lite_rdmult_grid(tmp_path):
+    """tune_butteraugli (butteraugli-LITE masking model,
+    tune_butteraugli.c's role): dark/flat regions must get a smaller
+    lambda (more bits) than bright textured regions, the stream must
+    stay conforming, and bits must measurably shift toward the
+    sensitive half."""
+    import os
+    import subprocess
+    import numpy as np
+    from aom_av1_psy_tpu.utils.frame import Frame
+    from aom_av1_psy_tpu.encoder.frame import EncoderConfig
+    from aom_av1_psy_tpu.encoder.tpu_frame import TpuFrameEncoder
+    from aom_av1_psy_tpu.bitstream.containers import write_ivf
+
+    w, h = 176, 144
+    rng = np.random.default_rng(5)
+    y = np.empty((h, w), np.uint8)
+    # left half: dark smooth ramp (high sensitivity); right half: bright
+    # heavy texture (strong masking)
+    yy, xx = np.mgrid[0:h, 0 : w // 2].astype(np.float32)
+    y[:, : w // 2] = np.clip(20 + 20 * (xx / w) + 8 * np.sin(yy / 23.0),
+                             0, 255).astype(np.uint8)
+    y[:, w // 2 :] = np.clip(150 + rng.normal(0, 45, (h, w // 2)), 0,
+                             255).astype(np.uint8)
+    f = Frame(y, np.full((h // 2, w // 2), 128, np.uint8),
+              np.full((h // 2, w // 2), 128, np.uint8))
+    enc = TpuFrameEncoder(f, EncoderConfig(base_q_idx=120,
+                                           tune_butteraugli=True))
+    grid = np.asarray(enc.rdmult)
+    assert grid.ndim == 2 and grid.std() > 0
+    # dark/flat left gets smaller lambda than masked bright right
+    assert grid[:, : grid.shape[1] // 2].mean() \
+        < grid[:, grid.shape[1] // 2 :].mean()
+    data = enc.encode()
+    path = str(tmp_path / "ba.ivf")
+    write_ivf(path, [data], w, h)
+    aomdec = "/tmp/refbuild/aomdec"
+    if os.path.exists(aomdec):
+        r = subprocess.run([aomdec, "--rawvideo", "-o",
+                            str(tmp_path / "ba.yuv"), path],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+    # vs untuned: the dark half's reconstruction error must shrink
+    enc0 = TpuFrameEncoder(f, EncoderConfig(base_q_idx=120))
+    enc0.encode()
+    rec1 = np.asarray(enc.ref_planes_dev[0])[:h, : w // 2]
+    rec0 = np.asarray(enc0.ref_planes_dev[0])[:h, : w // 2]
+    src = y[:, : w // 2].astype(np.int64)
+    e1 = ((rec1 - src) ** 2).mean()
+    e0 = ((rec0 - src) ** 2).mean()
+    assert e1 <= e0, (e1, e0)

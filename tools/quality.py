@@ -227,6 +227,21 @@ def run_aomenc(frames, tmpdir, cq, intra: bool, cpu_used=6):
     return bits / len(frames), global_psnr(frames, dec)
 
 
+def perceptual_scores(src_frames, dec_frames):
+    """Mean PSNR-HVS (dB) and VIF-lite over the clip (ops/metrics.psnr_hvs
+    golden-exact vs aom_dsp/psnrhvs.c; encoder/tune_vmaf.vif_lite)."""
+    from aom_av1_psy_tpu.ops.metrics import psnr_hvs
+    from aom_av1_psy_tpu.encoder.tune_vmaf import vif_lite
+    hv, vf = [], []
+    for s, d in zip(src_frames, dec_frames):
+        sp, dp = s.planes(), d.planes()
+        dpc = [p2[: p1.shape[0], : p1.shape[1]] for p1, p2 in zip(sp, dp)]
+        hv.append(psnr_hvs(sp, dpc)[0])
+        vf.append(float(vif_lite(sp[0].astype(np.float32),
+                                 dpc[0].astype(np.float32))))
+    return float(np.mean(hv)), float(np.mean(vf))
+
+
 def run_ours(frames, tmpdir, make_packets, tag):
     w, h = frames[0].width, frames[0].height
     t0 = time.perf_counter()
@@ -236,7 +251,8 @@ def run_ours(frames, tmpdir, make_packets, tag):
     write_ivf(out, packets, w, h)
     bits = sum(len(p) for p in packets) * 8
     dec = decode_with_aomdec(out, w, h, len(frames))
-    return bits / len(frames), global_psnr(frames, dec), dt
+    hvs, vif = perceptual_scores(frames, dec)
+    return bits / len(frames), global_psnr(frames, dec), dt, hvs, vif
 
 
 # ----------------------------------------------------------------------
@@ -366,6 +382,7 @@ def main():
                 pts = []
                 total_dt = 0.0
                 truncated = False
+                perc = []
                 for q in QIDX:
                     if time.perf_counter() - t_start > args.budget \
                             and len(pts) >= 4:
@@ -373,14 +390,18 @@ def main():
                         print(f"{key}: budget hit after {len(pts)} points",
                               flush=True)
                         break
-                    r, p, dt = run_ours(frames, td, ours(q), f"{mode}_{q}")
+                    r, p, dt, hvs, vif = run_ours(frames, td, ours(q),
+                                                  f"{mode}_{q}")
                     pts.append((r, p))
+                    perc.append({"psnr_hvs": round(hvs, 3),
+                                 "vif_lite": round(vif, 4)})
                     total_dt += dt
             bd = bd_rate([a[0] for a in anchor], [a[1] for a in anchor],
                          [x[0] for x in pts], [x[1] for x in pts])
             all_bd[key] = bd
             results["clips"][key] = {
                 "anchor_rd": anchor, "ours_rd": pts,
+                "ours_perceptual": perc,
                 "bd_rate_pct": bd, "encode_s_total": round(total_dt, 1),
                 "truncated_by_budget": truncated,
             }
