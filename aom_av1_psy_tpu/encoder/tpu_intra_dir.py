@@ -240,20 +240,27 @@ def build_edge_buffer(above, left, tl, have_a, have_l, trreal, blreal,
 
 def dir_predict(E, ef_type, bs: int):
     """Directional predictions: (nd, B, bs, bs) int32 from the edge buffer
-    E (B, L) and the per-block edge-filter type bit ef_type (B,)."""
+    E (B, L) and the per-block edge-filter type bit ef_type (B,).
+
+    The gathers use STATIC index arrays only (one per edge-filter type,
+    selected per block afterwards): dynamic-index gathers lower
+    catastrophically on the axon backend (observed 8x whole-plan
+    slowdown with a take_along_axis formulation)."""
     tab = tables(bs)
-    IDXa = jnp.asarray(tab["IDXa"])  # (2, nd, bs, bs)
-    IDXb = jnp.asarray(tab["IDXb"])
     SH = jnp.asarray(tab["SH"])      # (nd, bs, bs)
-    t = ef_type.astype(jnp.int32)    # (B,)
-    ia = IDXa[t]                     # (B, nd, bs, bs)
-    ib = IDXb[t]
     B = E.shape[0]
     nd = SH.shape[0]
-    va = jnp.take_along_axis(E, ia.reshape(B, -1), axis=1) \
-        .reshape(B, nd, bs, bs)
-    vb = jnp.take_along_axis(E, ib.reshape(B, -1), axis=1) \
-        .reshape(B, nd, bs, bs)
+
+    def static_gather(idx):          # idx numpy (nd, bs, bs)
+        return E[:, idx.reshape(-1)].reshape(B, nd, bs, bs)
+
+    va0 = static_gather(tab["IDXa"][0])
+    vb0 = static_gather(tab["IDXb"][0])
+    va1 = static_gather(tab["IDXa"][1])
+    vb1 = static_gather(tab["IDXb"][1])
+    t = ef_type[:, None, None, None]
+    va = jnp.where(t, va1, va0)
+    vb = jnp.where(t, vb1, vb0)
     pred = (va * (32 - SH[None]) + vb * SH[None] + 16) >> 5
     return jnp.transpose(pred, (1, 0, 2, 3))
 
