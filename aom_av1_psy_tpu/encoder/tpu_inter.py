@@ -127,10 +127,18 @@ def _fullpel_search(src16, ref, by, bx, crop_h, crop_w, bw: int = 16,
     r = SEARCH_RAD
     oy = by if cy is None else by + cy
     ox = bx if cx is None else bx + cx
-    ys = jnp.clip(oy[:, None] - r + jnp.arange(bw + 2 * r)[None, :], 0,
-                  crop_h - 1)
-    xs = jnp.clip(ox[:, None] - r + jnp.arange(bw + 2 * r)[None, :], 0,
-                  crop_w - 1)
+    if isinstance(oy, np.ndarray):
+        # static block origins -> compile-time constant window indices
+        # (dynamic-index gathers lower badly on the axon backend)
+        ys = np.clip(oy[:, None] - r + np.arange(bw + 2 * r)[None, :], 0,
+                     crop_h - 1)
+        xs = np.clip(ox[:, None] - r + np.arange(bw + 2 * r)[None, :], 0,
+                     crop_w - 1)
+    else:
+        ys = jnp.clip(oy[:, None] - r + jnp.arange(bw + 2 * r)[None, :], 0,
+                      crop_h - 1)
+        xs = jnp.clip(ox[:, None] - r + jnp.arange(bw + 2 * r)[None, :], 0,
+                      crop_w - 1)
     win = _gather_region(ref, ys, xs).astype(jnp.float32)
     k = src16.astype(jnp.float32)[:, None]                  # (B, 1, bw, bw)
     corr = jax.lax.conv_general_dilated(
@@ -200,10 +208,12 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
     B = R2 * C2
 
     # ---- 16-level motion field ----
-    gy = (16 * (jnp.arange(B, dtype=jnp.int32) // C2))
-    gx = (16 * (jnp.arange(B, dtype=jnp.int32) % C2))
-    rows16 = gy[:, None] + jnp.arange(16)[None, :]
-    cols16 = gx[:, None] + jnp.arange(16)[None, :]
+    # block origins are STATIC grids: keep them numpy so every derived
+    # source/window gather has compile-time constant indices
+    gy = 16 * (np.arange(B, dtype=np.int32) // C2)
+    gx = 16 * (np.arange(B, dtype=np.int32) % C2)
+    rows16 = gy[:, None] + np.arange(16)[None, :]
+    cols16 = gx[:, None] + np.arange(16)[None, :]
     s16 = src[rows16[:, :, None], cols16[:, None, :]]
     kernels = all_kernels[0]      # REGULAR during the search stages
     # two-stage full-pel search: a half-resolution exact-SSD pass first
@@ -216,8 +226,8 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
              + ref[1::2, 1::2] + 2) >> 2
     gy_h = gy >> 1
     gx_h = gx >> 1
-    rows8 = gy_h[:, None] + jnp.arange(8)[None, :]
-    cols8 = gx_h[:, None] + jnp.arange(8)[None, :]
+    rows8 = gy_h[:, None] + np.arange(8)[None, :]
+    cols8 = gx_h[:, None] + np.arange(8)[None, :]
     s8 = half[rows8[:, :, None], cols8[:, None, :]]
     cdy, cdx = _fullpel_search(s8, rhalf, gy_h, gx_h, crop_h // 2,
                                crop_w // 2, bw=8)
@@ -304,10 +314,10 @@ def _luma_inter(src, ref, dc_q, ac_q, rd16, rd32, forced, no_split,
 
     # ---- 32 path: best of the 4 sub-MVs + zero at 32x32 ----
     Bc = R * C
-    cy = (32 * (jnp.arange(Bc, dtype=jnp.int32) // C))
-    cx = (32 * (jnp.arange(Bc, dtype=jnp.int32) % C))
-    rows32 = cy[:, None] + jnp.arange(32)[None, :]
-    cols32 = cx[:, None] + jnp.arange(32)[None, :]
+    cy = 32 * (np.arange(Bc, dtype=np.int32) // C)
+    cx = 32 * (np.arange(Bc, dtype=np.int32) % C)
+    rows32 = cy[:, None] + np.arange(32)[None, :]
+    cols32 = cx[:, None] + np.arange(32)[None, :]
     s32 = src[rows32[:, :, None], cols32[:, None, :]]
     lo32 = [x.reshape(-1) for x in c32]
     mvr2 = mv8_r.reshape(R, 2, C, 2)
@@ -377,10 +387,10 @@ def _chroma_inter(src_u, src_v, ref_u, ref_v, dc_q, ac_q, rd16, rd32,
     B8 = R2 * C2
     Bc = R * C
 
-    gy8 = (8 * (jnp.arange(B8, dtype=jnp.int32) // C2))
-    gx8 = (8 * (jnp.arange(B8, dtype=jnp.int32) % C2))
-    cy16 = (16 * (jnp.arange(Bc, dtype=jnp.int32) // C))
-    cx16 = (16 * (jnp.arange(Bc, dtype=jnp.int32) % C))
+    gy8 = 8 * (np.arange(B8, dtype=np.int32) // C2)
+    gx8 = 8 * (np.arange(B8, dtype=np.int32) % C2)
+    cy16 = 16 * (np.arange(Bc, dtype=np.int32) // C)
+    cx16 = 16 * (np.arange(Bc, dtype=np.int32) % C)
     mvr = mv8[:, :, 0].reshape(-1)
     mvc = mv8[:, :, 1].reshape(-1)
     # 32-cell mv = TL sub's mv (all four equal when NONE was chosen)
@@ -391,8 +401,8 @@ def _chroma_inter(src_u, src_v, ref_u, ref_v, dc_q, ac_q, rd16, rd32,
     lo16 = [x.reshape(-1) for x in cc32]
     outs = []
     for srcp, refp in ((src_u, ref_u), (src_v, ref_v)):
-        rows8 = gy8[:, None] + jnp.arange(8)[None, :]
-        cols8 = gx8[:, None] + jnp.arange(8)[None, :]
+        rows8 = gy8[:, None] + np.arange(8)[None, :]
+        cols8 = gx8[:, None] + np.arange(8)[None, :]
         s8 = srcp[rows8[:, :, None], cols8[:, None, :]]
         qr, qc = _clamp_mv_q4(mvr, mvc, *lo8, 1)
         p8 = _mc_blocks(refp, gy8, gx8, qr, qc, 8, crop_h, crop_w, kernels)
@@ -400,8 +410,8 @@ def _chroma_inter(src_u, src_v, ref_u, ref_v, dc_q, ac_q, rd16, rd32,
         lv8, e8, rec8, _, _ = _skip_rd(lv8, e8, rec8, p8, s8,
                                        rd16.reshape(-1), *rtc8)
 
-        rows16 = cy16[:, None] + jnp.arange(16)[None, :]
-        cols16 = cx16[:, None] + jnp.arange(16)[None, :]
+        rows16 = cy16[:, None] + np.arange(16)[None, :]
+        cols16 = cx16[:, None] + np.arange(16)[None, :]
         s16 = srcp[rows16[:, :, None], cols16[:, None, :]]
         qr, qc = _clamp_mv_q4(mvr32, mvc32, *lo16, 1)
         p16 = _mc_blocks(refp, cy16, cx16, qr, qc, 16, crop_h, crop_w,
