@@ -57,6 +57,7 @@ class EncoderConfig:
     adaptive_partition: bool = True   # variance-based split below block_size
     search_lpf: bool = True      # picklpf-style filter level search
     search_cdef: bool = False    # CDEF strength search (enables CDEF syntax)
+    cdef_fixed: bool = False     # CDEF with quantizer-derived strengths
     tune_psy: bool = False       # psy rdmult modulation (SSIM factors)
     tune_butteraugli: bool = False  # butteraugli-lite masking rdmult grid
     tune_vmaf: bool = False      # VIF-optimal unsharp source preprocessing

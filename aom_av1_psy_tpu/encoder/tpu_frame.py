@@ -244,7 +244,7 @@ class TpuFrameEncoder:
 
     # -- headers (mirrors FrameEncoder.make_headers for this feature set) --
     def make_headers(self) -> tuple[SequenceHeader, FrameHeader]:
-        use_cdef = bool(self.cfg.search_cdef)
+        use_cdef = bool(self.cfg.search_cdef or self.cfg.cdef_fixed)
         seq = SequenceHeader(
             max_frame_width=self.w, max_frame_height=self.h,
             frame_width_bits=max(self.w - 1, 1).bit_length(),
@@ -337,10 +337,24 @@ class TpuFrameEncoder:
             self._lpf_device(fh)
         self.timings = {"plan_s": t1 - t0, "pack_s": time.perf_counter() - t1}
         if seq.enable_cdef:
-            # pick frame-level CDEF strengths on the post-LPF recon; header
-            # bits only (cdef_bits=0 -> no symbol-stream change), so this
-            # runs after the pack and before the header write
-            self._search_cdef_fused(fh)
+            if self.cfg.search_cdef:
+                # pick frame-level CDEF strengths on the post-LPF recon;
+                # header bits only (cdef_bits=0 -> no symbol-stream
+                # change), so this runs after the pack and before the
+                # header write
+                self._search_cdef_fused(fh)
+            else:
+                # cdef_fixed: quantizer-derived strengths (encoder
+                # heuristic — strengths are signalled, any choice
+                # conforms); keeps GOP encoding off the host search
+                cdef_fixed_strengths(fh, self.cfg.base_q_idx)
+        if seq.enable_cdef and self.use_part:
+            # the reference chain is post-CDEF like the decoder's: apply
+            # on device (ops/cdef_jax.py) with host-exact directions
+            self.ref_planes_dev = apply_cdef_refs(
+                self.ref_planes_dev, self.mi_skip, fh, self.mi_rows,
+                self.mi_cols, self.nplanes,
+                srcs=None if self.cfg.search_cdef else self.srcp)
         # end-of-frame entropy state (the stream signals frame-end CDF
         # update): adapted in place by the pack; counter-reset exactly as
         # the decoder's _update_ref_slots does, so a following INTER frame
@@ -783,6 +797,72 @@ class TpuFrameEncoder:
         enc.allow_update = not fh.disable_cdf_update
         native_pack_kf_part2(enc, arrays, scalars)
         return enc.done()
+
+
+def cdef_fixed_strengths(fh: FrameHeader, q: int) -> None:
+    """Quantizer-derived frame-level CDEF strengths (encoder heuristic;
+    the search path is av1/encoder/pickcdef.c — any signalled strength
+    conforms, so GOP encoding can skip the sweep)."""
+    c = fh.cdef
+    c.bits = 0
+    ypri = int(np.clip((q - 16) // 48, 0, 8))
+    ysec = 1 if q >= 80 else 0
+    c.y_pri, c.y_sec = [ypri], [ysec]
+    c.uv_pri, c.uv_sec = [max(ypri - 1, 0)], [ysec]
+    fh.cdef.damping = 3 + (q >> 6)
+
+
+def apply_cdef_refs(planes_dev, mi_skip, fh: FrameHeader, mi_rows: int,
+                    mi_cols: int, nplanes: int, srcs=None):
+    """Apply the frame's CDEF to the (post-LPF) reference planes on
+    device, with the NORMATIVE direction search on the host (exact
+    int64 — see ops/cdef_jax.py docstring). Returns new device planes.
+
+    When ``srcs`` (source planes) are given, the heuristic strengths are
+    A/B gated: if the filtered frame's source MSE is not lower, the
+    strengths are zeroed in ``fh`` and the input planes returned — the
+    cheapest honest form of pickcdef's search (a one-candidate sweep)."""
+    import jax.numpy as jnp
+    from ..ops import cdef_jax as DCJ
+    from ..ops.cdef import find_dir_blocks
+    c = fh.cdef
+    ysec = c.y_sec[0] + (c.y_sec[0] == 3)
+    usec = c.uv_sec[0] + (c.uv_sec[0] == 3)
+    if c.y_pri[0] == 0 and ysec == 0 and c.uv_pri[0] == 0 and usec == 0:
+        return planes_dev
+    mh, mw = mi_rows * 4, mi_cols * 4
+    nbr, nbc = mh // 8, mw // 8
+    y_host = np.asarray(planes_dev[0])[:mh, :mw]
+    yb = y_host.reshape(nbr, 8, nbc, 8).transpose(0, 2, 1, 3)         .reshape(-1, 8, 8)
+    dirs, var = find_dir_blocks(yb, 0)
+    sk = np.ones((nbr * 2, nbc * 2), np.int32)
+    sk[:mi_rows, :mi_cols] = mi_skip
+    skip8 = sk.reshape(nbr, 2, nbc, 2).all((1, 3))
+    outs = DCJ.cdef_apply_fused(
+        tuple(planes_dev[:nplanes]), jnp.asarray(skip8),
+        jnp.asarray(dirs), jnp.asarray(var.astype(np.int32)),
+        c.y_pri[0], ysec, c.uv_pri[0], usec, c.damping,
+        mi_rows=mi_rows, mi_cols=mi_cols, nplanes=nplanes)
+    if srcs is not None:
+        def mse(pl, src, sh, sw):
+            d = (pl[:sh, :sw] - jnp.asarray(src[:sh, :sw])) \
+                .astype(jnp.float32)
+            return (d * d).sum()
+
+        e0 = mse(planes_dev[0], srcs[0], mh, mw)
+        e1 = mse(outs[0], srcs[0], mh, mw)
+        if nplanes > 1:
+            for pl_i in (1, 2):
+                e0 = e0 + mse(planes_dev[pl_i], srcs[pl_i],
+                              mh // 2, mw // 2)
+                e1 = e1 + mse(outs[pl_i], srcs[pl_i], mh // 2, mw // 2)
+        # require a clear win: marginal filtering denoises the recon at
+        # the cost of re-coding that noise in every following frame
+        if not bool(e1 < 0.98 * e0):
+            c.y_pri, c.y_sec = [0], [0]
+            c.uv_pri, c.uv_sec = [0], [0]
+            return planes_dev
+    return list(outs)
 
 
 def encode_ivf_tpu(frames: list, cfg: EncoderConfig, path: str) -> None:

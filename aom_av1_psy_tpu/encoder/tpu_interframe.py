@@ -197,6 +197,9 @@ class TpuInterFrameEncoder:
         fh.lf.filter_level_u = lvl
         fh.lf.filter_level_v = lvl
         fh.lf.delta_enabled = False
+        if getattr(self._seq, "enable_cdef", False):
+            from .tpu_frame import cdef_fixed_strengths
+            cdef_fixed_strengths(fh, self.cfg.base_q_idx)
         return self._seq, fh
 
     # ------------------------------------------------------------------
@@ -221,6 +224,11 @@ class TpuInterFrameEncoder:
             self._lpf_device(fh)
         else:
             self.ref_planes_out = list(plan["recon_dev"])
+        if getattr(self.seq, "enable_cdef", False) and not self.zero_lpf:
+            from .tpu_frame import apply_cdef_refs
+            self.ref_planes_out = apply_cdef_refs(
+                self.ref_planes_out, self._mi_skip_map(), fh,
+                self.mi_rows, self.mi_cols, self.nplanes, srcs=self.srcp)
         tile_data = self._pack_script(plan, fc, fh)
         # end-of-frame context save (decoder/obu.py:_update_ref_slots):
         # the script adapted fc's tables in place; reset the per-row
@@ -236,6 +244,22 @@ class TpuInterFrameEncoder:
         td = bytes([0x12, 0x00])
         return td + bytes([0x32]) + write_leb128(len(frame_payload)) \
             + frame_payload
+
+    # ------------------------------------------------------------------
+    def _mi_skip_map(self):
+        """Per-mi skip grid from the plan eobs (the pack derives the same
+        flags; CDEF's unit gating needs them before the pack runs)."""
+        p = self.plan
+        skip32 = (p["y_eob32"] == 0)
+        skip16 = (p["y_eob16"] == 0)
+        if self.nplanes > 1:
+            skip32 &= (p["uv_eob16"] == 0).all(0)
+            skip16 &= (p["uv_eob8"] == 0).all(0)
+        sp = p["split32"].astype(bool)
+        blk = np.where(np.repeat(np.repeat(sp, 2, 0), 2, 1), skip16,
+                       np.repeat(np.repeat(skip32, 2, 0), 2, 1))
+        return np.repeat(np.repeat(blk.astype(np.int32), 4, 0),
+                         4, 1)[: self.mi_rows, : self.mi_cols]
 
     # ------------------------------------------------------------------
     def _lpf_device(self, fh) -> None:
@@ -659,7 +683,8 @@ def _ref_chain_planes(enc):
 
 def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
                      key_interval: int = 0, forward_cdf: bool = True,
-                     kf_q_offset: int = 60, tf_key: bool = True):
+                     kf_q_offset: int = 60, tf_key: bool = True,
+                     cdef: bool = True):
     """Fused-path GOP driver: TPU KEY frame + TPU inter frames on a LAST
     recon chain (IPPP). With ``forward_cdf`` (default), every inter frame
     inherits the previous frame's end-of-frame entropy state via
@@ -679,6 +704,10 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
     ref_dev = None
     seq = None
     prev_fc = None
+    if cdef and not cfg.search_cdef:
+        # reference chain carries CDEF now (device apply + host-exact
+        # directions); strengths are the quantizer heuristic
+        cfg = dataclasses.replace(cfg, cdef_fixed=True)
     kf_cfg = dataclasses.replace(
         cfg, base_q_idx=max(8, cfg.base_q_idx - kf_q_offset)) \
         if kf_q_offset else cfg
@@ -692,19 +721,6 @@ def encode_video_tpu(frames, cfg: EncoderConfig, path: str | None = None,
                 from . import temporal_filter as TF
                 frame = TF.filter_key_frame(frames, i, kf_cfg.base_q_idx)
             enc = TpuFrameEncoder(frame, kf_cfg)
-            if len(frames) > 1:
-                # GOP: the reference chain is the decoder's post-LPF
-                # recon (device LPF); CDEF stays off — the encoder does
-                # not yet apply CDEF on device, so a CDEF'd reference
-                # would drift
-                orig = enc.make_headers
-
-                def _nocdef(_orig=orig):
-                    seq_, fh_ = _orig()
-                    seq_.enable_cdef = False
-                    return seq_, fh_
-
-                enc.make_headers = _nocdef
             packets.append(enc.encode(include_seq=(i == 0)))
             seq = enc.seq
         else:
@@ -754,17 +770,13 @@ def encode_video_tpu_arf(frames, cfg: EncoderConfig, path: str | None = None,
     packets, encs = [], []
 
     # KEY
+    if not cfg.search_cdef:
+        cfg = dataclasses.replace(cfg, cdef_fixed=True)
+        kf_cfg = dataclasses.replace(kf_cfg, cdef_fixed=True)
+        arf_cfg = dataclasses.replace(arf_cfg, cdef_fixed=True)
     key = TpuFrameEncoder(
         TF.filter_key_frame(frames, 0, kf_cfg.base_q_idx) if T > 1
         else frames[0], kf_cfg)
-    orig = key.make_headers
-
-    def _nocdef(_orig=orig):
-        seq_, fh_ = _orig()
-        seq_.enable_cdef = False   # no device CDEF on refs yet
-        return seq_, fh_
-
-    key.make_headers = _nocdef
     packets.append(key.encode(include_seq=True))
     encs.append(key)
     seq = key.seq
@@ -916,18 +928,9 @@ def encode_video_tpu_cbr(frames, target_bps: float, fps: float = 30.0,
         q_frame = int(np.clip(q + step, min_q, max_q))
         if not is_key:
             q = q_frame
-        cfg_i = EncoderConfig(base_q_idx=q_frame)
+        cfg_i = EncoderConfig(base_q_idx=q_frame, cdef_fixed=True)
         if is_key:
             enc = TpuFrameEncoder(frame, cfg_i)
-            if n > 1:
-                orig = enc.make_headers
-
-                def _nocdef(_orig=orig):
-                    seq_, fh_ = _orig()
-                    seq_.enable_cdef = False
-                    return seq_, fh_
-
-                enc.make_headers = _nocdef
             pkt = enc.encode(include_seq=(i == 0))
             seq = enc.seq
         else:
@@ -1017,18 +1020,9 @@ def encode_video_tpu_rc(frames, target_bps: float, fps: float = 30.0,
             want = q
         step = int(np.clip(want - q, -max_step, max_step))
         q = int(np.clip(q + step, min_q, max_q))
-        cfg_i = EncoderConfig(base_q_idx=q)
+        cfg_i = EncoderConfig(base_q_idx=q, cdef_fixed=True)
         if is_key:
             enc = TpuFrameEncoder(frame, cfg_i)
-            if n > 1:
-                orig = enc.make_headers
-
-                def _nocdef(_orig=orig):
-                    seq_, fh_ = _orig()
-                    seq_.enable_cdef = False   # no device CDEF on refs yet
-                    return seq_, fh_
-
-                enc.make_headers = _nocdef
             pkt = enc.encode(include_seq=(i == 0))
             seq = enc.seq
         else:
