@@ -62,6 +62,8 @@ class EncoderConfig:
     tune_butteraugli: bool = False  # butteraugli-lite masking rdmult grid
     tune_vmaf: bool = False      # VIF-optimal unsharp source preprocessing
     tile_cols_log2: int = 0      # vertical tile columns (fused path only)
+    try_smooth64: bool = True    # RD-picked uniform-64 (TX_64X64) fallback
+                                 # on smooth KEY frames (fused path only)
 
     def __post_init__(self):
         if self.lossless:

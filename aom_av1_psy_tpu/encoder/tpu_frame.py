@@ -376,7 +376,88 @@ class TpuFrameEncoder:
         frame_payload = w.data() + tile_data
         frame_obu = bytes([0x32]) + write_leb128(len(frame_payload)) \
             + frame_payload
-        return td + seq_obu + frame_obu
+        pkt = td + seq_obu + frame_obu
+        self.picked_smooth64 = False
+        if self._smooth64_eligible():
+            pkt = self._pick_smooth64(pkt, include_seq)
+        return pkt
+
+    # ------------------------------------------------------------------
+    def _smooth64_eligible(self) -> bool:
+        """Cheap gate for the uniform-64 fallback (_pick_smooth64): only
+        frames whose high-frequency energy is far below typical noise can
+        win with 64x64 DC/SMOOTH coding, so everything else skips the
+        extra host encode entirely (keeps the fused path's throughput)."""
+        if not (self.cfg.try_smooth64 and self.use_part
+                and self.tile_T == 1 and min(self.w, self.h) >= 64):
+            return False
+        y = self.src.planes()[0].astype(np.float32)
+        p = np.pad(y, 1, mode="edge")
+        b = sum(p[r : r + y.shape[0], c : c + y.shape[1]]
+                for r in range(3) for c in range(3)) / 9.0
+        hf = float(np.mean((y - b) ** 2))
+        return hf < 10.0
+
+    def _pick_smooth64(self, pkt_fused: bytes, include_seq: bool) -> bytes:
+        """Frame-level RD pick between the fused 32/16 stream and a
+        uniform BLOCK_64X64 + TX_64X64 alternative (the 64 partition
+        level of av1/encoder/partition_search.c, which the fused
+        wavefront does not reach yet — on smooth content it halves the
+        rate at equal PSNR). Both candidate streams are decoded with our
+        own decoder for the exact in-loop distortion, and the winner's
+        recon/entropy/header state replaces this encoder's so GOP
+        reference chains stay decoder-exact."""
+        import dataclasses
+        from .frame import FrameEncoder
+        from ..decoder.obu import Av1Decoder
+
+        cfg64 = dataclasses.replace(
+            self.cfg, block_size=int(BlockSize.BLOCK_64X64),
+            adaptive_partition=False, search_cdef=False, cdef_fixed=False,
+            tile_cols_log2=0, try_smooth64=False,
+            tune_vmaf=False)  # self.src is already preprocessed
+        host = FrameEncoder(self.src, cfg64)
+        pkt64 = host.encode(include_seq=include_seq)
+
+        def _dist(pkt, seq):
+            data = pkt
+            if not include_seq:
+                w = BitWriter()
+                seq.write(w)
+                w.trailing_bits()
+                payload = w.data()
+                data = pkt[:2] + bytes([0x0A]) \
+                    + write_leb128(len(payload)) + payload + pkt[2:]
+            rec = Av1Decoder().decode_packet(data)[0]
+            sse = 0.0
+            for a, b in zip(rec.planes()[: self.nplanes],
+                            self.src.planes()[: self.nplanes]):
+                d = a.astype(np.float64) - b.astype(np.float64)
+                sse += float((d * d).sum())
+            return sse, rec
+
+        sse_f, _ = _dist(pkt_fused, self.seq)
+        sse_6, rec_6 = _dist(pkt64, host.seq)
+        from ..ec import costs as EC_costs
+        lam = float(EC_costs.compute_rd_mult(self.cfg.base_q_idx))
+        rd_f = 2048.0 * sse_f + lam / 512.0 * 8.0 * len(pkt_fused)
+        rd_6 = 2048.0 * sse_6 + lam / 512.0 * 8.0 * len(pkt64)
+        self.picked_smooth64 = bool(rd_6 < rd_f)
+        if not self.picked_smooth64:
+            return pkt_fused
+        import jax.numpy as jnp
+        self.seq, self.fh = host.seq, host.fh
+        host.fc.reset_counters()
+        self.saved_fc = host.fc
+        pads = []
+        for i, pl in enumerate(rec_6.planes()[: self.nplanes]):
+            th, tw = self.srcp[i].shape
+            a = np.asarray(pl, np.int32)
+            a = np.pad(a, ((0, th - a.shape[0]), (0, tw - a.shape[1])),
+                       mode="edge")
+            pads.append(jnp.asarray(a))
+        self.ref_planes_dev = pads
+        return pkt64
 
     # ------------------------------------------------------------------
     def _cdef_grids(self):

@@ -74,8 +74,11 @@ def test_gop_with_cdef_reference_chain(tmp_path):
                     + rng.normal(0, 3, (h, w)), 0, 255).astype(np.uint8)
         frames.append(Frame(y, np.full((h // 2, w // 2), 120, np.uint8),
                             np.full((h // 2, w // 2), 133, np.uint8)))
-    pkts, encs = encode_video_tpu(frames, EncoderConfig(base_q_idx=140),
-                                  cdef=True)
+    # try_smooth64 off: this probe targets the fused path's CDEF
+    # reference chain, not the smooth-frame 64-level fallback
+    pkts, encs = encode_video_tpu(
+        frames, EncoderConfig(base_q_idx=140, try_smooth64=False),
+        cdef=True)
     assert encs[0].seq.enable_cdef
     filtered = any((e.fh.cdef.y_pri[0] or e.fh.cdef.y_sec[0])
                    for e in encs if e is not None)
