@@ -294,7 +294,11 @@ def main():
         QIDX = [32, 64, 96, 128, 168, 208]
     else:
         CQ = [16, 24, 32, 40, 48, 56]
-        QIDX = [24, 48, 72, 96, 120, 152, 184, 216]
+        # 112/136 close the 40-45 dB gap that let piecewise-linear BD
+        # interpolate optimistically on smooth clips (see QUALITY_r05
+        # notes); budget-truncated runs drop from the tail, so the added
+        # mid points stay in even under tight budgets
+        QIDX = [24, 48, 72, 96, 112, 136, 168, 216]
 
     intra_clips = {
         "gradient_352": clip_gradient(352, 288, 2),
